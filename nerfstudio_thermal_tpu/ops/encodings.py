@@ -1,0 +1,240 @@
+"""Input encodings: multiresolution hash grid, spherical harmonics, sinusoidal.
+
+Behavioral spec: reference `nerfstudio/field_components/encodings.py`
+(HashEncoding torch fallback at :401-461 defines the exact hash/interp
+semantics; SHEncoding at :755; NeRFEncoding at :98-180). The hash math here is
+bit-exact with the reference mod 2^19 (uint32 wraparound preserves the low
+bits the table index uses), so trained tables are comparable across stacks.
+
+TPU notes: the gather-heavy hash lookup is expressed as one batched gather of
+all 8 corners x L levels; XLA lowers it to HBM gathers and the backward to
+scatter-adds. `ops/pallas/hash_encoding.py` provides a fused Pallas kernel for
+the same semantics on the training hot path.
+"""
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Instant-NGP spatial-hash primes (reference encodings.py:412).
+_HASH_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+
+# The 8 trilinear-interpolation corners; bit=1 selects ceil, bit=0 floor.
+# Ordering matches the reference's corner enumeration (encodings.py:428-437).
+_CORNER_BITS = np.array(
+    [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=np.bool_
+)  # [8, 3] (x, y, z)
+
+
+def hash_grid_scalings(num_levels: int, min_res: int, max_res: int) -> np.ndarray:
+    """Per-level grid resolutions: floor(min_res * growth^level).
+
+    growth = exp((ln max - ln min) / (L - 1)) — reference encodings.py:344.
+    """
+    if num_levels > 1:
+        growth = math.exp((math.log(max_res) - math.log(min_res)) / (num_levels - 1))
+    else:
+        growth = 1.0
+    levels = np.arange(num_levels)
+    return np.floor(min_res * growth**levels).astype(np.float32)
+
+
+def spatial_hash(coords: jax.Array, table_size: int) -> jax.Array:
+    """Instant-NGP spatial hash of integer grid coords.
+
+    coords: int32 [..., 3] (non-negative grid indices).
+    Returns int32 [...] in [0, table_size). table_size must be a power of 2.
+    """
+    c = coords.astype(jnp.uint32) * _HASH_PRIMES
+    h = c[..., 0] ^ c[..., 1] ^ c[..., 2]
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def hash_encode(
+    table: jax.Array,
+    positions: jax.Array,
+    scalings: jax.Array,
+    table_size: int,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Multiresolution hash-grid encoding (pure-XLA path).
+
+    Args:
+        table: [L * table_size, F] feature table (levels concatenated).
+        positions: [..., 3] in [0, 1].
+        scalings: [L] per-level grid resolution.
+        table_size: entries per level (power of 2).
+
+    Returns:
+        [..., L * F] trilinearly interpolated features.
+    """
+    num_levels = scalings.shape[0]
+    features_per_level = table.shape[-1]
+
+    scaled = positions[..., None, :].astype(jnp.float32) * scalings[:, None]  # [..., L, 3]
+    floor = jnp.floor(scaled)
+    offset = (scaled - floor).astype(compute_dtype)  # [..., L, 3]
+    f = floor.astype(jnp.int32)
+    c = jnp.ceil(scaled).astype(jnp.int32)
+
+    corner_bits = jnp.asarray(_CORNER_BITS)  # [8, 3]
+    # [..., L, 8, 3]: pick ceil where bit set, floor otherwise.
+    corners = jnp.where(corner_bits, c[..., None, :], f[..., None, :])
+    idx = spatial_hash(corners, table_size)  # [..., L, 8]
+    level_offset = (jnp.arange(num_levels, dtype=jnp.int32) * table_size)[:, None]
+    idx = idx + level_offset
+
+    feats = table.astype(compute_dtype)[idx]  # [..., L, 8, F]
+    # Trilinear weights: offset for ceil corners, (1 - offset) for floor.
+    w = jnp.where(corner_bits, offset[..., None, :], 1.0 - offset[..., None, :])
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # [..., L, 8]
+    out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, F]
+    return out.reshape(*positions.shape[:-1], num_levels * features_per_level)
+
+
+class HashEncoding(nn.Module):
+    """Instant-NGP multiresolution hash-grid encoding as a flax module.
+
+    Defaults mirror reference encodings.py:324-343. Table init U(-1e-3, 1e-3)
+    (reference :375-379).
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 1024
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    hash_init_scale: float = 1e-3
+    compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @property
+    def table_size(self) -> int:
+        return 2**self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @nn.compact
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        table = self.param(
+            "hash_table",
+            lambda key, shape: self.hash_init_scale
+            * (2.0 * jax.random.uniform(key, shape) - 1.0),
+            (self.table_size * self.num_levels, self.features_per_level),
+        )
+        scalings = jnp.asarray(
+            hash_grid_scalings(self.num_levels, self.min_res, self.max_res)
+        )
+        if self.use_pallas:
+            from nerfstudio_thermal_tpu.ops.pallas.hash_encoding import (
+                hash_encode_pallas,
+            )
+
+            return hash_encode_pallas(
+                table, positions, scalings, self.table_size,
+                compute_dtype=self.compute_dtype,
+            )
+        return hash_encode(
+            table, positions, scalings, self.table_size, compute_dtype=self.compute_dtype
+        )
+
+
+# Hardcoded real SH basis, matching reference utils/math.py:29-106.
+def sh_encoding(directions: jax.Array, levels: int = 4) -> jax.Array:
+    """Real spherical-harmonics components of unit directions, levels in [1,5].
+
+    Returns [..., levels**2].
+    """
+    assert 1 <= levels <= 5
+    x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    comps = [jnp.full_like(x, 0.28209479177387814)]
+    if levels > 1:
+        comps += [
+            0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            0.4886025119029199 * x,
+        ]
+    if levels > 2:
+        comps += [
+            1.0925484305920792 * x * y,
+            1.0925484305920792 * y * z,
+            0.9461746957575601 * zz - 0.31539156525251999,
+            1.0925484305920792 * x * z,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if levels > 3:
+        comps += [
+            0.5900435899266435 * y * (3 * xx - yy),
+            2.890611442640554 * x * y * z,
+            0.4570457994644658 * y * (5 * zz - 1),
+            0.3731763325901154 * z * (5 * zz - 3),
+            0.4570457994644658 * x * (5 * zz - 1),
+            1.445305721320277 * z * (xx - yy),
+            0.5900435899266435 * x * (xx - 3 * yy),
+        ]
+    if levels > 4:
+        comps += [
+            2.5033429417967046 * x * y * (xx - yy),
+            1.7701307697799304 * y * z * (3 * xx - yy),
+            0.9461746957575601 * x * y * (7 * zz - 1),
+            0.6690465435572892 * y * z * (7 * zz - 3),
+            0.10578554691520431 * (35 * zz * zz - 30 * zz + 3),
+            0.6690465435572892 * x * z * (7 * zz - 3),
+            0.47308734787878004 * (xx - yy) * (7 * zz - 1),
+            1.7701307697799304 * x * z * (xx - 3 * yy),
+            0.6258357354491761 * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+        ]
+    return jnp.stack(comps, axis=-1)
+
+
+class SHEncoding(nn.Module):
+    """Spherical-harmonic direction encoding (reference encodings.py:755)."""
+
+    levels: int = 4
+
+    @property
+    def out_dim(self) -> int:
+        return self.levels**2
+
+    def __call__(self, directions: jax.Array) -> jax.Array:
+        return sh_encoding(directions, self.levels)
+
+
+class NeRFEncoding(nn.Module):
+    """Multi-scale sinusoidal encoding (reference encodings.py:98-180).
+
+    Input scaled by 2*pi; frequencies 2^linspace(min_freq_exp, max_freq_exp).
+    Output [..., in_dim * num_frequencies * 2 (+ in_dim if include_input)].
+    """
+
+    in_dim: int = 3
+    num_frequencies: int = 2
+    min_freq_exp: float = 0.0
+    max_freq_exp: float = 1.0
+    include_input: bool = False
+
+    @property
+    def out_dim(self) -> int:
+        d = self.in_dim * self.num_frequencies * 2
+        if self.include_input:
+            d += self.in_dim
+        return d
+
+    def __call__(self, in_tensor: jax.Array) -> jax.Array:
+        scaled = 2.0 * jnp.pi * in_tensor
+        freqs = 2.0 ** jnp.linspace(
+            self.min_freq_exp, self.max_freq_exp, self.num_frequencies
+        )
+        scaled = scaled[..., None] * freqs  # [..., in_dim, F]
+        scaled = scaled.reshape(*scaled.shape[:-2], -1)
+        encoded = jnp.sin(jnp.concatenate([scaled, scaled + jnp.pi / 2.0], axis=-1))
+        if self.include_input:
+            encoded = jnp.concatenate([encoded, in_tensor], axis=-1)
+        return encoded

@@ -1,0 +1,92 @@
+"""MLPs as MXU-friendly XLA dot chains.
+
+Behavioral spec: reference `nerfstudio/field_components/mlp.py:60-292` (plain
+MLP and the fused hash+MLP `MLPWithHashEncoding`, the training hot kernel —
+tiny-cuda-nn FullyFusedMLP in the reference). On TPU the fused form is simply
+the hash gather followed by bf16 matmuls; XLA fuses the elementwise chain and
+tiles the dots onto the MXU, so no hand-written fusion is needed for the MLP
+portion. Params are kept fp32; compute runs in `compute_dtype` (bf16 on TPU),
+matching the reference's fp16-tcnn / fp32-params split (see SURVEY.md §2.8).
+"""
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerfstudio_thermal_tpu.ops.encodings import HashEncoding
+
+
+class MLP(nn.Module):
+    """Plain MLP: `num_layers` Dense layers of `layer_width`, then out layer.
+
+    Layer-count semantics match reference mlp.py:142-160: num_layers == 1 is a
+    single in->out Linear; otherwise (num_layers - 1) hidden layers + output.
+    """
+
+    num_layers: int
+    layer_width: int
+    out_dim: int
+    skip_connections: Tuple[int, ...] = ()
+    activation: Optional[Callable] = nn.relu
+    out_activation: Optional[Callable] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_tensor = x = x.astype(self.compute_dtype)
+        skips = set(self.skip_connections)
+        num_linears = 1 if self.num_layers == 1 else self.num_layers
+        for i in range(num_linears):
+            is_last = i == num_linears - 1
+            width = self.out_dim if is_last else self.layer_width
+            if i in skips and i != 0:
+                x = jnp.concatenate([in_tensor, x], axis=-1)
+            x = nn.Dense(width, dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+            if not is_last and self.activation is not None:
+                x = self.activation(x)
+        if self.out_activation is not None:
+            x = self.out_activation(x)
+        return x
+
+
+class MLPWithHashEncoding(nn.Module):
+    """Hash-grid encoding feeding an MLP — the base field of every nerfacto
+    variant (reference mlp.py:186-292, used at fields/nerfacto_field.py:135).
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 1024
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    num_layers: int = 2
+    layer_width: int = 64
+    out_dim: int = 16
+    activation: Optional[Callable] = nn.relu
+    out_activation: Optional[Callable] = None
+    compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        encoded = HashEncoding(
+            num_levels=self.num_levels,
+            min_res=self.min_res,
+            max_res=self.max_res,
+            log2_hashmap_size=self.log2_hashmap_size,
+            features_per_level=self.features_per_level,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+            name="encoding",
+        )(positions)
+        return MLP(
+            num_layers=self.num_layers,
+            layer_width=self.layer_width,
+            out_dim=self.out_dim,
+            activation=self.activation,
+            out_activation=self.out_activation,
+            compute_dtype=self.compute_dtype,
+            name="mlp",
+        )(encoded)
