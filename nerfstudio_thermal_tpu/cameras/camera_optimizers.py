@@ -89,11 +89,15 @@ class CameraOptimizer(nn.Module):
     # --- pure helpers over raw params (usable outside module application) ---
 
     def regularization_loss(self, params) -> jax.Array:
-        """L2 pose penalty (reference :188-199)."""
+        """L2 pose penalty (reference :188-199). safe_norm: torch's norm has a
+        zero subgradient at 0; jnp.linalg.norm would give NaN at the zero
+        init."""
+        from nerfstudio_thermal_tpu.utils.math import safe_norm
+
         adj = params["pose_adjustment"]
         return (
-            jnp.mean(jnp.linalg.norm(adj[:, :3], axis=-1)) * self.trans_l2_penalty
-            + jnp.mean(jnp.linalg.norm(adj[:, 3:], axis=-1)) * self.rot_l2_penalty
+            jnp.mean(safe_norm(adj[:, :3])) * self.trans_l2_penalty
+            + jnp.mean(safe_norm(adj[:, 3:])) * self.rot_l2_penalty
         ) * self.penalty_scale
 
     def metrics(self, params) -> dict:

@@ -1,0 +1,189 @@
+"""Nerfacto field: hash-grid base MLP + SH-conditioned color head.
+
+Behavioral spec: reference `nerfstudio/fields/nerfacto_field.py:43-348` and
+the fork's `fields/thermal_nerfacto_field.py:10-99` (identical except the
+color head emits `num_channels` in {1, 3, 4}: 1 = thermal-only field,
+4 = shared RGBT head). The two are one module here with a `num_channels`
+knob, so ThermalNerfactoField is an alias.
+
+Numerics notes:
+- Density path: contraction -> (x+2)/4 -> out-of-box selector zeroing ->
+  hash+MLP -> fp32 trunc_exp * average_init_density * selector
+  (reference :205-229). Density is computed in fp32 even when the MLP runs
+  bf16, matching the reference's fp16-tcnn/fp32-density split (:224-227).
+- Direction encoding: the reference's tcnn path evaluates SH on true unit
+  directions (tcnn internally undoes the [0,1] shift of
+  `get_normalized_directions`); its torch fallback evaluates SH on the
+  shifted values. We follow the tcnn (production) semantics: SH on unit
+  directions.
+"""
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerfstudio_thermal_tpu.cameras.rays import RaySamples
+from nerfstudio_thermal_tpu.data.scene_box import SceneBox
+from nerfstudio_thermal_tpu.fields.base_field import FieldHeadNames
+from nerfstudio_thermal_tpu.ops.activations import trunc_exp
+from nerfstudio_thermal_tpu.ops.encodings import SHEncoding
+from nerfstudio_thermal_tpu.ops.mlp import MLP, MLPWithHashEncoding
+
+
+class NerfactoField(nn.Module):
+    """Compound field. aabb is a static (2, 3) array-like."""
+
+    aabb: Any
+    num_images: int
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_levels: int = 16
+    base_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    num_layers_color: int = 3
+    features_per_level: int = 2
+    hidden_dim_color: int = 64
+    appearance_embedding_dim: int = 32
+    use_average_appearance_embedding: bool = False
+    use_spatial_distortion: bool = True  # SceneContraction(order=inf)
+    average_init_density: float = 1.0
+    num_channels: int = 3
+    compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        self.direction_encoding = SHEncoding(levels=4)
+        self.mlp_base = MLPWithHashEncoding(
+            num_levels=self.num_levels,
+            min_res=self.base_res,
+            max_res=self.max_res,
+            log2_hashmap_size=self.log2_hashmap_size,
+            features_per_level=self.features_per_level,
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            out_dim=1 + self.geo_feat_dim,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+        )
+        if self.appearance_embedding_dim > 0:
+            # Direct param (not a submodule) so the eval path can average the
+            # table (reference nerfacto_field.py:295-305).
+            self.appearance_table = self.param(
+                "embedding_appearance",
+                nn.initializers.normal(stddev=1.0),
+                (self.num_images, self.appearance_embedding_dim),
+            )
+        self.mlp_head = MLP(
+            num_layers=self.num_layers_color,
+            layer_width=self.hidden_dim_color,
+            out_dim=self.num_channels,
+            out_activation=nn.sigmoid,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def _normalize_positions(self, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """World positions -> [0,1]^3 hash-grid coords + in-box selector
+        (reference nerfacto_field.py:207-218)."""
+        if self.use_spatial_distortion:
+            from nerfstudio_thermal_tpu.ops.spatial_distortions import SceneContraction
+
+            positions = SceneContraction(order=jnp.inf)(positions)
+            positions = (positions + 2.0) / 4.0
+        else:
+            positions = SceneBox.get_normalized_positions(
+                positions, jnp.asarray(self.aabb)
+            )
+        selector = jnp.all((positions > 0.0) & (positions < 1.0), axis=-1)
+        positions = positions * selector[..., None]
+        return positions, selector
+
+    def get_density(self, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """positions [..., 3] world -> (density [..., 1] fp32, geo feats
+        [..., geo_feat_dim])."""
+        positions, selector = self._normalize_positions(positions)
+        h = self.mlp_base(positions.reshape(-1, 3)).reshape(*positions.shape[:-1], -1)
+        density_before, geo_feat = h[..., :1], h[..., 1:]
+        density = self.average_init_density * trunc_exp(
+            density_before.astype(jnp.float32)
+        )
+        density = density * selector[..., None]
+        return density, geo_feat
+
+    def density_fn(self, positions: jax.Array) -> jax.Array:
+        return self.get_density(positions)[0]
+
+    def get_outputs(
+        self,
+        ray_samples: RaySamples,
+        geo_feat: jax.Array,
+        train: bool = True,
+    ) -> jax.Array:
+        """Color head: SH(dir) ++ geo_feat ++ appearance embed -> MLP -> sigmoid
+        (reference nerfacto_field.py:272-348)."""
+        directions = ray_samples.directions  # unit
+        sample_shape = ray_samples.starts.shape[:-1]
+        d = self.direction_encoding(directions)
+        d = jnp.broadcast_to(d[..., None, :], (*sample_shape, d.shape[-1]))
+
+        parts = [d.reshape(-1, d.shape[-1]), geo_feat.reshape(-1, self.geo_feat_dim)]
+        if self.appearance_embedding_dim > 0:
+            cam_idx = ray_samples.camera_indices[..., 0]
+            if train:
+                emb = self.appearance_table[cam_idx]
+            else:
+                if self.use_average_appearance_embedding:
+                    emb = jnp.broadcast_to(
+                        jnp.mean(self.appearance_table, axis=0),
+                        (*cam_idx.shape, self.appearance_embedding_dim),
+                    )
+                else:
+                    emb = jnp.zeros((*cam_idx.shape, self.appearance_embedding_dim))
+            emb = jnp.broadcast_to(
+                emb[..., None, :], (*sample_shape, self.appearance_embedding_dim)
+            )
+            parts.append(emb.reshape(-1, self.appearance_embedding_dim))
+
+        h = jnp.concatenate(parts, axis=-1)
+        rgb = self.mlp_head(h).reshape(*sample_shape, self.num_channels)
+        return rgb.astype(jnp.float32)
+
+    def __call__(self, ray_samples: RaySamples, train: bool = True) -> dict:
+        """Full field forward (reference base_field.py forward)."""
+        density, geo_feat = self.get_density(ray_samples.get_positions())
+        rgb = self.get_outputs(ray_samples, geo_feat, train=train)
+        return {FieldHeadNames.DENSITY: density, FieldHeadNames.RGB: rgb}
+
+    def sample_and_density(self, rng: jax.Array, num_points: int, voxel_size: float):
+        """Density at random points + their 6 axis neighbors, for the TV
+        density loss (reference nerfacto_field.py:231-270). Returns
+        [7 * num_points, 1] densities (points first, then neighbor blocks)."""
+        aabb = jnp.asarray(self.aabb, jnp.float32)
+        pts = jax.random.uniform(rng, (num_points, 3))
+        scaled = aabb[0] + (aabb[1] - aabb[0]) * pts
+        width = (aabb[1] - aabb[0]) / voxel_size
+        offsets = jnp.asarray(
+            [
+                [1, 0, 0], [-1, 0, 0],
+                [0, 1, 0], [0, -1, 0],
+                [0, 0, 1], [0, 0, -1],
+            ],
+            jnp.float32,
+        )
+        neighbors = scaled[None, :, :] - offsets[:, None, :] * width
+        all_points = jnp.concatenate([scaled[None], neighbors], axis=0).reshape(-1, 3)
+        # Match reference get_density_only: positions used directly with the
+        # in-unit-box selector (no contraction), density without
+        # average_init_density scaling.
+        selector = jnp.all((all_points > 0.0) & (all_points < 1.0), axis=-1)
+        positions = all_points * selector[..., None]
+        h = self.mlp_base(positions)
+        return trunc_exp(h[..., :1].astype(jnp.float32))
+
+
+# The fork's field is the same module with num_channels in {1, 3, 4}
+# (reference fields/thermal_nerfacto_field.py:10-99).
+ThermalNerfactoField = NerfactoField

@@ -1,0 +1,192 @@
+"""Loss library: proposal/interlevel, distortion, normals, and the fork's
+cross-spectral thermal losses.
+
+Behavioral spec: reference `nerfstudio/model_components/losses.py`
+(`outer/lossfun_outer:57-107`, `interlevel_loss:117-137`,
+`lossfun_distortion/distortion_loss:139-160`, orientation/pred-normal
+`:205-228`, `scale_gradients_by_distance_squared:554-574`, thermal set
+`tv_density_loss:593`, `tv_pixel_loss:602`, `pixel_grad:623`,
+`cross_channel_loss:637`).
+
+TPU note: the reference's thermal pixel losses filter rays with boolean
+indexing (dynamic shapes). Here they are masked means over the static 2x2
+patch layout — numerically identical because each patch is modality-pure
+(patches are sampled within one image, see data/pixel_samplers.py).
+"""
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from nerfstudio_thermal_tpu.cameras.rays import RaySamples
+from nerfstudio_thermal_tpu.model_components.ray_samplers import searchsorted_batched
+
+EPS = 1.0e-7
+
+
+def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean((pred - target) ** 2)
+
+
+def l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean over elements where mask is 1 (static-shape replacement for the
+    reference's boolean filtering)."""
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(values * mask) / denom
+
+
+def ray_samples_to_sdist(ray_samples: RaySamples) -> jax.Array:
+    """Bin edges in normalized spacing domain [R, S+1] (reference :109-114)."""
+    return jnp.concatenate(
+        [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]],
+        axis=-1,
+    )
+
+
+def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
+    """Sum of y1 histogram mass within each (t0) interval (reference :57-86)."""
+    cy1 = jnp.concatenate(
+        [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
+    )
+    idx_lo = searchsorted_batched(t1_starts, t0_starts, side="right") - 1
+    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
+    idx_hi = searchsorted_batched(t1_ends, t0_ends, side="right")
+    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
+    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
+    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    return cy1_hi - cy1_lo
+
+
+def lossfun_outer(t, w, t_env, w_env):
+    """Proposal bound violation (reference :89-107)."""
+    w_outer = outer(t[..., :-1], t[..., 1:], t_env[..., :-1], t_env[..., 1:], w_env)
+    return jnp.clip(w - w_outer, 0.0, None) ** 2 / (w + EPS)
+
+
+def interlevel_loss(weights_list: List[jax.Array], ray_samples_list: List[RaySamples]):
+    """MipNeRF-360 proposal loss (reference :117-137)."""
+    c = jax.lax.stop_gradient(ray_samples_to_sdist(ray_samples_list[-1]))
+    w = jax.lax.stop_gradient(weights_list[-1][..., 0])
+    loss = 0.0
+    for ray_samples, weights in zip(ray_samples_list[:-1], weights_list[:-1]):
+        sdist = ray_samples_to_sdist(ray_samples)
+        loss = loss + jnp.mean(lossfun_outer(c, w, sdist, weights[..., 0]))
+    return loss
+
+
+def lossfun_distortion(t, w):
+    """MipNeRF-360 distortion in s-space (reference :141-152)."""
+    ut = (t[..., 1:] + t[..., :-1]) / 2.0
+    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
+    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3.0
+    return loss_inter + loss_intra
+
+
+def distortion_loss(weights_list: List[jax.Array], ray_samples_list: List[RaySamples]):
+    """(reference :155-160) — applies to the final level only."""
+    c = ray_samples_to_sdist(ray_samples_list[-1])
+    w = weights_list[-1][..., 0]
+    return jnp.mean(lossfun_distortion(c, w))
+
+
+def orientation_loss(weights, normals, viewdirs):
+    """Ref-NeRF orientation loss (reference :205-217)."""
+    n_dot_v = jnp.sum(normals * -viewdirs[..., None, :], axis=-1)
+    return jnp.sum(weights[..., 0] * jnp.minimum(0.0, n_dot_v) ** 2, axis=-1)
+
+
+def pred_normal_loss(weights, normals, pred_normals):
+    """(reference :220-227)."""
+    return jnp.sum(
+        weights[..., 0] * (1.0 - jnp.sum(normals * pred_normals, axis=-1)), axis=-1
+    )
+
+
+@jax.custom_vjp
+def _scale_gradient(value, scaling):
+    return value
+
+
+def _scale_gradient_fwd(value, scaling):
+    return value, scaling
+
+
+def _scale_gradient_bwd(scaling, g):
+    return g * scaling, None
+
+
+_scale_gradient.defvjp(_scale_gradient_fwd, _scale_gradient_bwd)
+
+
+def scale_gradients_by_distance_squared(field_outputs: dict, ray_samples: RaySamples):
+    """Radiance-field gradient scaling for unbiased near-camera training
+    (reference :558-574)."""
+    ray_dist = (ray_samples.starts + ray_samples.ends) / 2.0
+    scaling = jnp.clip(ray_dist**2, 0.0, 1.0)
+    return {k: _scale_gradient(v, scaling) for k, v in field_outputs.items()}
+
+
+# ---------------------------------------------------------------------------
+# Thermal (cross-spectral) losses — the fork's additions
+# ---------------------------------------------------------------------------
+
+
+def tv_density_loss(densities: jax.Array, num_samples: int) -> jax.Array:
+    """L1 between densities at points and their 6 neighbor offsets
+    (reference :593-599; densities layout [7 * num_samples, 1]: points first,
+    then the 6 neighbor blocks)."""
+    base = densities[:num_samples]
+    reps = densities[num_samples:].shape[0] // num_samples
+    tiled = jnp.tile(base, (reps, 1))
+    return jnp.mean(jnp.abs(densities[num_samples:] - tiled))
+
+
+def tv_pixel_loss(pred_thermal: jax.Array, is_thermal: jax.Array) -> jax.Array:
+    """2x2-patch total variation on predicted thermal at RGB pixels
+    (reference :602-620). pred_thermal [N, 1]; rays in flattened 2x2-patch
+    order; masked-mean over RGB patches."""
+    patch_size = 2
+    patches = pred_thermal.reshape(-1, patch_size**2)
+    rgb_mask = (1.0 - is_thermal).reshape(-1, patch_size**2)[:, 0]
+    tv = (
+        jnp.abs(patches[:, 0] - patches[:, 1])
+        + jnp.abs(patches[:, 0] - patches[:, 2])
+        + jnp.abs(patches[:, 1] - patches[:, 3])
+        + jnp.abs(patches[:, 2] - patches[:, 3])
+    )
+    return masked_mean(tv, rgb_mask) / patch_size**2
+
+
+def pixel_grad(img: jax.Array, patch_size: int = 2) -> jax.Array:
+    """2x2-patch finite differences (reference :623-634). img [N, 1] ->
+    [4, N / 4]."""
+    patches = img.reshape(-1, patch_size**2)
+    return jnp.stack(
+        [
+            patches[:, 1] - patches[:, 0],
+            patches[:, 2] - patches[:, 0],
+            patches[:, 3] - patches[:, 1],
+            patches[:, 3] - patches[:, 2],
+        ]
+    )
+
+
+def cross_channel_loss(
+    pred_thermal: jax.Array, gt_rgb: jax.Array, is_thermal: jax.Array
+) -> jax.Array:
+    """L1 between 2x2-patch gradients of predicted thermal and grayscale GT
+    RGB at RGB pixels (reference :637-651)."""
+    patch_size = 2
+    rgb_mask = (1.0 - is_thermal).reshape(-1, patch_size**2)[:, 0]
+    gt_gray = jnp.mean(gt_rgb, axis=-1, keepdims=True)
+    diff = jnp.abs(
+        pixel_grad(pred_thermal, patch_size) - pixel_grad(gt_gray, patch_size)
+    )
+    per_patch = diff[0] + diff[1] + diff[2] + diff[3]
+    return masked_mean(per_patch, rgb_mask) / patch_size**2

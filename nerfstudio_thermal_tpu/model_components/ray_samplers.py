@@ -1,0 +1,236 @@
+"""Ray sampling strategies as pure functions.
+
+Behavioral spec: reference `nerfstudio/model_components/ray_samplers.py`
+(`SpacedSampler:53-128`, `UniformLinDispPiecewiseSampler:225`,
+`PDFSampler:251-372`, `ProposalNetworkSampler:523-619`).
+
+TPU design notes:
+- All samplers are pure functions of (rng, rays) with static sample counts, so
+  the whole proposal hierarchy traces into one XLA program.
+- The reference's "updated" flag (gradient to proposal nets only on scheduled
+  steps, ray_samplers.py:592-611) is a traced boolean here, implemented with
+  `stop_gradient` switching instead of Python control flow, so one compiled
+  program serves every step.
+- Inverse-CDF sampling uses a batched searchsorted.
+"""
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerfstudio_thermal_tpu.cameras.rays import (
+    RayBundle,
+    RaySamples,
+    spacing_fn,
+)
+
+
+def searchsorted_batched(a: jax.Array, v: jax.Array, side: str = "right") -> jax.Array:
+    """searchsorted over the last axis with matching batch dims.
+
+    a: [..., M] sorted, v: [..., K] -> int32 [..., K].
+    """
+    flat_a = a.reshape(-1, a.shape[-1])
+    flat_v = v.reshape(-1, v.shape[-1])
+    out = jax.vmap(lambda aa, vv: jnp.searchsorted(aa, vv, side=side))(flat_a, flat_v)
+    return out.reshape(*v.shape).astype(jnp.int32)
+
+
+def spaced_sample(
+    ray_bundle: RayBundle,
+    num_samples: int,
+    spacing_kind: str = "uniform",
+    train_stratified: bool = True,
+    single_jitter: bool = False,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> RaySamples:
+    """Sample along rays according to a spacing warp
+    (reference ray_samplers.py:78-128)."""
+    num_rays = ray_bundle.origins.shape[0]
+    bins = jnp.linspace(0.0, 1.0, num_samples + 1)[None, :]  # [1, S+1]
+    bins = jnp.broadcast_to(bins, (num_rays, num_samples + 1))
+
+    if train_stratified and train:
+        assert rng is not None
+        if single_jitter:
+            t_rand = jax.random.uniform(rng, (num_rays, 1))
+        else:
+            t_rand = jax.random.uniform(rng, (num_rays, num_samples + 1))
+        bin_centers = (bins[..., 1:] + bins[..., :-1]) / 2.0
+        bin_upper = jnp.concatenate([bin_centers, bins[..., -1:]], axis=-1)
+        bin_lower = jnp.concatenate([bins[..., :1], bin_centers], axis=-1)
+        bins = bin_lower + (bin_upper - bin_lower) * t_rand
+
+    s_near = spacing_fn(spacing_kind, ray_bundle.nears)  # [R, 1]
+    s_far = spacing_fn(spacing_kind, ray_bundle.fars)
+
+    def to_euclid(s):
+        from nerfstudio_thermal_tpu.cameras.rays import spacing_fn_inv
+
+        return spacing_fn_inv(spacing_kind, s * s_far + (1.0 - s) * s_near)
+
+    euclidean_bins = to_euclid(bins)  # [R, S+1]
+
+    return ray_bundle.get_ray_samples(
+        bin_starts=euclidean_bins[..., :-1, None],
+        bin_ends=euclidean_bins[..., 1:, None],
+        spacing_starts=bins[..., :-1, None],
+        spacing_ends=bins[..., 1:, None],
+        spacing_kind=spacing_kind,
+        s_near=s_near,
+        s_far=s_far,
+    )
+
+
+def pdf_sample(
+    ray_bundle: RayBundle,
+    ray_samples: RaySamples,
+    weights: jax.Array,  # [R, S, 1]
+    num_samples: int,
+    train_stratified: bool = True,
+    single_jitter: bool = False,
+    include_original: bool = True,
+    histogram_padding: float = 0.01,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+    eps: float = 1e-5,
+) -> RaySamples:
+    """Inverse-CDF resampling in spacing domain
+    (reference ray_samplers.py:276-372)."""
+    num_bins = num_samples + 1
+    w = weights[..., 0] + histogram_padding  # [R, S]
+
+    weights_sum = jnp.sum(w, axis=-1, keepdims=True)
+    padding = jax.nn.relu(eps - weights_sum)
+    w = w + padding / w.shape[-1]
+    weights_sum = weights_sum + padding
+
+    pdf = w / weights_sum
+    cdf = jnp.minimum(jnp.ones_like(pdf), jnp.cumsum(pdf, axis=-1))
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, S+1]
+
+    u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)
+    u = jnp.broadcast_to(u, (*cdf.shape[:-1], num_bins))
+    if train_stratified and train:
+        assert rng is not None
+        if single_jitter:
+            rand = jax.random.uniform(rng, (*cdf.shape[:-1], 1)) / num_bins
+        else:
+            rand = jax.random.uniform(rng, (*cdf.shape[:-1], num_bins)) / num_bins
+        u = u + rand
+    else:
+        u = u + 1.0 / (2 * num_bins)
+
+    existing_bins = jnp.concatenate(
+        [ray_samples.spacing_starts[..., 0], ray_samples.spacing_ends[..., -1:, 0]],
+        axis=-1,
+    )  # [R, S+1]
+
+    inds = searchsorted_batched(cdf, u, side="right")
+    below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
+    above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
+    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
+    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
+    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+
+    t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0), nan=0.0), 0, 1)
+    bins = bins_g0 + t * (bins_g1 - bins_g0)
+
+    if include_original:
+        bins = jnp.sort(jnp.concatenate([existing_bins, bins], axis=-1), axis=-1)
+
+    bins = jax.lax.stop_gradient(bins)
+
+    euclidean_bins = ray_samples.spacing_to_euclidean(bins)
+
+    return ray_bundle.get_ray_samples(
+        bin_starts=euclidean_bins[..., :-1, None],
+        bin_ends=euclidean_bins[..., 1:, None],
+        spacing_starts=bins[..., :-1, None],
+        spacing_ends=bins[..., 1:, None],
+        spacing_kind=ray_samples.spacing_kind,
+        s_near=ray_samples.s_near,
+        s_far=ray_samples.s_far,
+    )
+
+
+def proposal_sample(
+    ray_bundle: RayBundle,
+    density_fns: Sequence[Callable[[jax.Array], jax.Array]],
+    num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96),
+    num_nerf_samples_per_ray: int = 48,
+    initial_spacing_kind: str = "piecewise",
+    single_jitter: bool = True,
+    anneal: jax.Array | float = 1.0,
+    updated: jax.Array | bool = True,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[RaySamples, List[jax.Array], List[RaySamples]]:
+    """Hierarchical proposal-network sampling
+    (reference ray_samplers.py:577-619).
+
+    density_fns[i](positions [R, S, 3]) -> density [R, S, 1]; one per proposal
+    level. `updated` gates gradient flow to the proposal densities (a traced
+    bool, stop_gradient switching). `anneal` exponentiates the weights.
+    Returns (final_samples, weights_list, samples_list).
+    """
+    n = len(num_proposal_samples_per_ray)
+    assert len(density_fns) == n
+    weights_list: List[jax.Array] = []
+    samples_list: List[RaySamples] = []
+
+    if rng is None:
+        rngs = [None] * (n + 1)
+    else:
+        rngs = list(jax.random.split(rng, n + 1))
+
+    weights = None
+    ray_samples = None
+    for i_level in range(n + 1):
+        is_prop = i_level < n
+        num_samples = (
+            num_proposal_samples_per_ray[i_level] if is_prop else num_nerf_samples_per_ray
+        )
+        if i_level == 0:
+            ray_samples = spaced_sample(
+                ray_bundle,
+                num_samples,
+                spacing_kind=initial_spacing_kind,
+                train_stratified=True,
+                single_jitter=single_jitter,
+                train=train,
+                rng=rngs[i_level],
+            )
+        else:
+            annealed = jnp.power(weights, anneal)
+            ray_samples = pdf_sample(
+                ray_bundle,
+                ray_samples,
+                annealed,
+                num_samples,
+                include_original=False,
+                single_jitter=single_jitter,
+                train=train,
+                rng=rngs[i_level],
+            )
+        if is_prop:
+            density = density_fns[i_level](ray_samples.get_positions())
+            # Gradient to the proposal net only on scheduled update steps.
+            density = jnp.where(
+                jnp.asarray(updated), density, jax.lax.stop_gradient(density)
+            )
+            weights = ray_samples.get_weights(density)
+            weights_list.append(weights)
+            samples_list.append(ray_samples)
+
+    return ray_samples, weights_list, samples_list
+
+
+def uniform_lin_disp_piecewise_sample(*args, **kwargs):
+    """Convenience alias for the nerfacto initial sampler
+    (reference ray_samplers.py:225-247)."""
+    kwargs.setdefault("spacing_kind", "piecewise")
+    return spaced_sample(*args, **kwargs)

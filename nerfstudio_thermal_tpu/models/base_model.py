@@ -1,0 +1,115 @@
+"""Model base class.
+
+Behavioral spec: reference `nerfstudio/models/base_model.py:58-257` — the
+Model owns fields/samplers/renderers, applies the collider before
+`get_outputs`, and renders full images by chunking rays
+(`get_outputs_for_camera_ray_bundle:178-206`).
+
+Functional design: a Model here is a plain Python object holding flax module
+definitions and *static* config; every compute method is pure in the params.
+`init_params(rng)` returns the grouped param pytree whose top-level keys match
+the reference's optimizer param groups (fields / proposal_networks /
+camera_opt / ... ) so per-group optimizers and checkpoints line up 1:1.
+"""
+
+from dataclasses import dataclass, field as dataclass_field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerfstudio_thermal_tpu.cameras.cameras import Cameras
+from nerfstudio_thermal_tpu.cameras.rays import RayBundle
+
+
+@dataclass
+class ModelConfig:
+    """Base model config (reference base_model.py:35-56)."""
+
+    enable_collider: bool = True
+    collider_near: float = 2.0
+    collider_far: float = 6.0
+    eval_num_rays_per_chunk: int = 4096
+
+
+class Model:
+    """Base functional model."""
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        scene_aabb: np.ndarray,  # [2, 3]
+        num_train_data: int,
+        metadata: Optional[Dict[str, Any]] = None,
+    ):
+        self.config = config
+        self.scene_aabb = np.asarray(scene_aabb, np.float32)
+        self.num_train_data = num_train_data
+        self.metadata = metadata or {}
+        self.collider = None
+        self.populate_modules()
+
+    def populate_modules(self):
+        raise NotImplementedError
+
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def get_outputs(self, params, ray_bundle: RayBundle, *, train, rng, **kwargs):
+        raise NotImplementedError
+
+    def forward(self, params, ray_bundle: RayBundle, *, train=True, rng=None, **kwargs):
+        """Collider + get_outputs (reference base_model.py:140-151)."""
+        if self.collider is not None:
+            ray_bundle = self.collider(ray_bundle, train=train)
+        return self.get_outputs(params, ray_bundle, train=train, rng=rng, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Full-image rendering (host-chunked; one compiled program per chunk
+    # size — the TPU analogue of reference base_model.py:178-206).
+    # ------------------------------------------------------------------
+
+    def get_outputs_for_camera(
+        self, params, cameras: Cameras, camera_index: int, rng=None,
+        width: Optional[int] = None, height: Optional[int] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Render a full image from camera `camera_index` (eval path)."""
+        h = int(height if height is not None else cameras.height[camera_index])
+        w = int(width if width is not None else cameras.width[camera_index])
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = jnp.asarray(
+            np.stack([ys, xs], -1).reshape(-1, 2).astype(np.float32) + 0.5
+        )
+        idx = jnp.full((coords.shape[0],), camera_index, jnp.int32)
+        bundle = cameras.generate_rays(idx, coords)
+        outputs = self.render_ray_bundle_chunked(params, bundle, rng=rng)
+        return {k: np.asarray(v).reshape(h, w, -1) for k, v in outputs.items()}
+
+    def render_ray_bundle_chunked(
+        self, params, bundle: RayBundle, rng=None
+    ) -> Dict[str, jax.Array]:
+        """Chunk a flat ray bundle, render with a cached jitted chunk fn, and
+        concatenate. The last chunk is padded to keep shapes static."""
+        chunk = self.config.eval_num_rays_per_chunk
+        n = bundle.origins.shape[0]
+        if not hasattr(self, "_render_chunk_jit"):
+            def _render(params, bundle_chunk):
+                return self.forward(params, bundle_chunk, train=False, rng=None)
+
+            self._render_chunk_jit = jax.jit(_render)
+
+        pad = (-n) % chunk
+        padded = jax.tree.map(
+            lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+            if pad
+            else x,
+            bundle,
+        )
+        outs = []
+        total = padded.origins.shape[0]
+        for start in range(0, total, chunk):
+            piece = jax.tree.map(lambda x: x[start : start + chunk], padded)
+            outs.append(self._render_chunk_jit(params, piece))
+        merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+        return jax.tree.map(lambda x: x[:n], merged)

@@ -26,7 +26,7 @@ class SceneContraction:
     def __call__(self, positions):
         if self.order is None:
             mag = jnp.linalg.norm(positions, axis=-1, keepdims=True)
-        elif jnp.isinf(self.order):
+        elif self.order == float("inf"):
             mag = jnp.max(jnp.abs(positions), axis=-1, keepdims=True)
         else:
             mag = jnp.linalg.norm(positions, ord=self.order, axis=-1, keepdims=True)
