@@ -1,0 +1,188 @@
+"""Method registry: named training configurations.
+
+Behavioral spec: reference `nerfstudio/configs/method_configs.py` — the
+`thermal-nerfacto` entry (:255-310) with its eight optimizer groups, plus
+`nerfacto` (:90-135). Third-party methods register via
+`nerfstudio_thermal_tpu.plugins`.
+"""
+
+import copy
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional
+
+from nerfstudio_thermal_tpu.cameras.camera_optimizers import CameraOptimizerConfig
+from nerfstudio_thermal_tpu.data.datamanagers import VanillaDataManagerConfig
+from nerfstudio_thermal_tpu.data.dataparsers.nerfstudio_dataparser import (
+    Nerfstudio,
+    NerfstudioDataParserConfig,
+    ThermalNerf,
+    ThermalNerfDataParserConfig,
+)
+from nerfstudio_thermal_tpu.engine.optimizers import (
+    AdamOptimizerConfig,
+    OptimizerGroupConfig,
+)
+from nerfstudio_thermal_tpu.engine.schedulers import ExponentialDecaySchedulerConfig
+from nerfstudio_thermal_tpu.engine.trainer import Trainer, TrainerConfig
+from nerfstudio_thermal_tpu.models.nerfacto import NerfactoModelConfig
+from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModelConfig
+
+
+@dataclass
+class MethodConfig:
+    """A full experiment: trainer + data + model + optimizers."""
+
+    method_name: str
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    dataparser: NerfstudioDataParserConfig = field(
+        default_factory=NerfstudioDataParserConfig
+    )
+    datamanager: VanillaDataManagerConfig = field(
+        default_factory=VanillaDataManagerConfig
+    )
+    model: NerfactoModelConfig = field(default_factory=NerfactoModelConfig)
+    optimizers: Dict[str, OptimizerGroupConfig] = field(default_factory=dict)
+    data: Optional[Path] = None
+    description: str = ""
+
+
+def _field_opt():
+    return OptimizerGroupConfig(
+        optimizer=AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+        scheduler=ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=200000),
+    )
+
+
+def _camera_opt():
+    return OptimizerGroupConfig(
+        optimizer=AdamOptimizerConfig(lr=1e-3, eps=1e-15),
+        scheduler=ExponentialDecaySchedulerConfig(lr_final=1e-4, max_steps=5000),
+    )
+
+
+def make_nerfacto() -> MethodConfig:
+    """(reference method_configs.py:90-135)."""
+    return MethodConfig(
+        method_name="nerfacto",
+        description="Recommended real-time model for unbounded scenes.",
+        trainer=TrainerConfig(
+            max_num_iterations=30000,
+            steps_per_eval_batch=500,
+            steps_per_save=2000,
+            mixed_precision=True,
+            method_name="nerfacto",
+        ),
+        dataparser=NerfstudioDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096
+        ),
+        model=NerfactoModelConfig(
+            eval_num_rays_per_chunk=1 << 15,
+            camera_optimizer=CameraOptimizerConfig(mode="SO3xR3"),
+            compute_dtype="bfloat16",
+        ),
+        optimizers={
+            "proposal_networks": _field_opt(),
+            "fields": _field_opt(),
+            "camera_opt": _camera_opt(),
+        },
+    )
+
+
+def make_thermal_nerfacto() -> MethodConfig:
+    """(reference method_configs.py:255-310)."""
+    return MethodConfig(
+        method_name="thermal-nerfacto",
+        description="Multispectral RGB+thermal nerfacto (ThermalNeRF).",
+        trainer=TrainerConfig(
+            max_num_iterations=30000,
+            steps_per_eval_batch=500,
+            steps_per_save=2000,
+            mixed_precision=True,
+            method_name="thermal-nerfacto",
+        ),
+        dataparser=ThermalNerfDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=4096 * 2,
+            eval_num_rays_per_batch=4096 * 2,
+            patch_size=2,  # required by the TV/cross-channel losses
+        ),
+        model=ThermalNerfactoModelConfig(
+            eval_num_rays_per_chunk=1 << 15,
+            camera_optimizer=CameraOptimizerConfig(mode="SO3xR3"),
+            compute_dtype="bfloat16",
+        ),
+        optimizers={
+            "proposal_networks": _field_opt(),
+            "fields": _field_opt(),
+            "proposal_networks_thermal": _field_opt(),
+            "fields_thermal": _field_opt(),
+            "camera_opt": _camera_opt(),
+            "camera_opt_thermal": _camera_opt(),
+            "shared_camera_opt": _camera_opt(),
+            "shared_camera_opt_thermal": _camera_opt(),
+        },
+    )
+
+
+method_configs: Dict[str, MethodConfig] = {}
+descriptions: Dict[str, str] = {}
+
+
+def register_method(config: MethodConfig):
+    method_configs[config.method_name] = config
+    descriptions[config.method_name] = config.description
+
+
+register_method(make_nerfacto())
+register_method(make_thermal_nerfacto())
+
+
+def get_method_config(name: str) -> MethodConfig:
+    from nerfstudio_thermal_tpu.plugins.registry import discover_methods
+
+    discover_methods(method_configs)
+    if name not in method_configs:
+        raise KeyError(
+            f"unknown method '{name}'; available: {sorted(method_configs)}"
+        )
+    return copy.deepcopy(method_configs[name])
+
+
+def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trainer:
+    """Wire dataparser -> datamanager -> model -> pipeline -> trainer
+    (the reference's InstantiateConfig.setup() chain, configs/base_config.py:47-56)."""
+    from nerfstudio_thermal_tpu.models.nerfacto import NerfactoModel
+    from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
+    from nerfstudio_thermal_tpu.pipelines.base_pipeline import VanillaPipeline
+
+    if config.data is not None:
+        config.dataparser.data = Path(config.data)
+
+    if isinstance(config.dataparser, ThermalNerfDataParserConfig):
+        dataparser = ThermalNerf(config.dataparser)
+    else:
+        dataparser = Nerfstudio(config.dataparser)
+
+    from nerfstudio_thermal_tpu.data.datamanagers import VanillaDataManager
+
+    datamanager = VanillaDataManager(config.datamanager, dataparser)
+
+    metadata = dict(datamanager.train_dataparser_outputs.metadata)
+    if "is_thermal" not in metadata:
+        metadata["is_thermal"] = list(datamanager.train_dataset.is_thermal)
+
+    model_cls = (
+        ThermalNerfactoModel
+        if isinstance(config.model, ThermalNerfactoModelConfig)
+        else NerfactoModel
+    )
+    model = model_cls(
+        config.model,
+        scene_aabb=datamanager.train_dataparser_outputs.scene_box,
+        num_train_data=len(datamanager.train_dataset),
+        metadata=metadata,
+    )
+    pipeline = VanillaPipeline(datamanager, model)
+    return Trainer(config.trainer, pipeline, config.optimizers, base_dir=base_dir)

@@ -1,0 +1,80 @@
+"""Image datasets (host side).
+
+Behavioral spec: reference `nerfstudio/data/datasets/base_dataset.py:40-161`
+(images as float32 HxWx3(4) in [0,1]; grayscale replicated to 3 channels —
+thermal PNGs arrive as 3-channel grey, `rgb_to_rgbt_image` later takes channel
+0) and `data/datasets/thermal_dataset.py:11-12` (surface per-image
+`is_thermal` from dataparser metadata).
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from nerfstudio_thermal_tpu.data.dataparsers.base_dataparser import DataparserOutputs
+
+
+def load_image(path, scale_factor: float = 1.0) -> np.ndarray:
+    """Load an image as float32 [H, W, 3 or 4] in [0, 1]."""
+    from PIL import Image
+
+    pil = Image.open(path)
+    if scale_factor != 1.0:
+        w, h = pil.size
+        pil = pil.resize((int(w * scale_factor), int(h * scale_factor)), Image.BILINEAR)
+    arr = np.asarray(pil)
+    if arr.dtype == np.uint16:
+        img = arr.astype(np.float32) / 65535.0
+    else:
+        img = arr.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    elif img.shape[-1] == 2:  # grey + alpha
+        img = np.concatenate([np.repeat(img[..., :1], 3, -1), img[..., 1:]], -1)
+    return img
+
+
+class InputDataset:
+    """Dataset over the dataparser outputs; images lazily loaded and cached
+    in RAM (the reference's CacheDataloader caches on GPU; HBM is precious on
+    TPU so the cache lives host-side and batches stream per step)."""
+
+    def __init__(self, dataparser_outputs: DataparserOutputs, scale_factor: float = 1.0):
+        self._dataparser_outputs = dataparser_outputs
+        self.scale_factor = scale_factor
+        self.cameras = dataparser_outputs.cameras
+        self.metadata = dataparser_outputs.metadata
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self._dataparser_outputs.image_filenames)
+
+    @property
+    def image_filenames(self):
+        return self._dataparser_outputs.image_filenames
+
+    def get_image(self, idx: int) -> np.ndarray:
+        if idx not in self._cache:
+            self._cache[idx] = load_image(
+                self._dataparser_outputs.image_filenames[idx], self.scale_factor
+            )
+        return self._cache[idx]
+
+    def get_is_thermal(self, idx: int) -> float:
+        vals = self.metadata.get("is_thermal")
+        return float(vals[idx]) if vals is not None else 0.0
+
+    @property
+    def is_thermal(self) -> np.ndarray:
+        vals = self.metadata.get("is_thermal")
+        if vals is None:
+            return np.zeros((len(self),), np.float32)
+        return np.asarray(vals, np.float32)
+
+    def preload(self):
+        for i in range(len(self)):
+            self.get_image(i)
+
+
+# Alias matching the reference's class name (thermal_dataset.py:11).
+ThermalDataset = InputDataset

@@ -1,0 +1,111 @@
+"""Pixel samplers (host side, numpy RNG).
+
+Behavioral spec: reference `nerfstudio/data/pixel_samplers.py:54-506` —
+uniform and 2x2-patch sampling over the cached image set; per-ray `is_thermal`
+attached from per-image metadata instead of pixelwise gather (:241-254).
+Jagged (mixed-resolution) image sets sample equal ray counts per image
+(:316-335), which also reproduces the fork's balanced RGB/thermal sampling
+(dataloaders.py:104-117) since thermal datasets are half RGB, half thermal.
+
+TPU note: sampling happens on host; the device step receives rectangular
+(camera_idx, y, x) index batches plus gathered GT values.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from nerfstudio_thermal_tpu.data.datasets import InputDataset
+
+
+@dataclass
+class PixelSamplerConfig:
+    num_rays_per_batch: int = 4096
+    patch_size: int = 1
+    """>1 samples whole patch_size x patch_size patches (the thermal model
+    requires 2 for its TV/cross-channel losses)."""
+
+
+class PixelSampler:
+    """Samples (camera, y, x) + GT values from an InputDataset."""
+
+    def __init__(self, config: PixelSamplerConfig, dataset: InputDataset, seed: int = 0):
+        self.config = config
+        self.dataset = dataset
+        self.rng = np.random.default_rng(seed)
+        p = config.patch_size
+        self.num_rays_per_batch = (config.num_rays_per_batch // (p * p)) * (p * p)
+
+    def _sample_in_image(self, idx: int, num_rays: int):
+        """Returns [num_rays, 2] integer (y, x) for one image."""
+        img = self.dataset.get_image(idx)
+        h, w = img.shape[:2]
+        p = self.config.patch_size
+        if p <= 1:
+            ys = self.rng.integers(0, h, num_rays)
+            xs = self.rng.integers(0, w, num_rays)
+            return np.stack([ys, xs], -1)
+        n_patches = num_rays // (p * p)
+        # patch top-left uniform in [0, dim - p) (reference :421-434)
+        ys0 = self.rng.uniform(0, h - p, n_patches).astype(np.int64)
+        xs0 = self.rng.uniform(0, w - p, n_patches).astype(np.int64)
+        dy, dx = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
+        ys = (ys0[:, None, None] + dy).reshape(-1)
+        xs = (xs0[:, None, None] + dx).reshape(-1)
+        return np.stack([ys, xs], -1)
+
+    def sample(self, num_rays: Optional[int] = None) -> Dict[str, np.ndarray]:
+        """Sample a ray batch: equal ray counts per image, patch-aligned."""
+        num_rays = num_rays or self.num_rays_per_batch
+        n_images = len(self.dataset)
+        p = self.config.patch_size
+        unit = p * p
+        per_image = max(unit, (num_rays // n_images) // unit * unit)
+
+        cams, coords = [], []
+        total = 0
+        order = self.rng.permutation(n_images)
+        for j, idx in enumerate(order):
+            want = min(per_image, num_rays - total)
+            if j == len(order) - 1:
+                want = num_rays - total
+            want = (want // unit) * unit
+            if want <= 0:
+                continue
+            yx = self._sample_in_image(int(idx), want)
+            cams.append(np.full((want,), idx, np.int64))
+            coords.append(yx)
+            total += want
+            if total >= num_rays:
+                break
+        # top up from random images if short (small datasets)
+        while total < num_rays:
+            idx = int(self.rng.integers(0, n_images))
+            yx = self._sample_in_image(idx, unit)
+            cams.append(np.full((unit,), idx, np.int64))
+            coords.append(yx)
+            total += unit
+
+        cam_idx = np.concatenate(cams)[:num_rays]
+        yx = np.concatenate(coords)[:num_rays]
+
+        # gather GT pixels + per-ray is_thermal (reference :241-254)
+        image_vals = np.empty((num_rays, self.dataset.get_image(int(cam_idx[0])).shape[-1]), np.float32)
+        for idx in np.unique(cam_idx):
+            m = cam_idx == idx
+            img = self.dataset.get_image(int(idx))
+            image_vals[m] = img[yx[m, 0], yx[m, 1]]
+        is_thermal_per_image = self.dataset.is_thermal
+        return {
+            "ray_indices": np.concatenate(
+                [cam_idx[:, None], yx], axis=-1
+            ).astype(np.int32),
+            "image": image_vals,
+            "is_thermal": is_thermal_per_image[cam_idx].astype(np.float32),
+        }
+
+
+class PatchPixelSampler(PixelSampler):
+    """Alias with patch semantics (reference :370-442); behavior selected by
+    config.patch_size."""

@@ -1,0 +1,306 @@
+"""Trainer: the jitted SPMD train step + host loop.
+
+Behavioral spec: reference `nerfstudio/engine/trainer.py:52-535` — train loop
+with eval cadence, checkpoint save/load, rays/sec tracking. Differences by
+design (SURVEY.md §7.1):
+- `train_iteration`'s autocast/GradScaler disappears (bf16 compute, fp32
+  params; no loss scaling needed on TPU).
+- Callbacks (proposal anneal, update schedule) are traced scalars computed
+  from `step` inside the jitted step.
+- DDP is replaced by sharding: the batch is sharded over a 1-D `data` mesh,
+  params are replicated, XLA inserts the gradient psum.
+
+TrainState is a pytree carrying params, optimizer state, step, the proposal
+update counters (the only "mutable" trainer state the reference kept in
+Python objects), and the RNG key.
+"""
+
+import functools
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerfstudio_thermal_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
+from nerfstudio_thermal_tpu.model_components.ray_generators import RayGenerator
+from nerfstudio_thermal_tpu.models.nerfacto import proposal_anneal, proposal_updated
+from nerfstudio_thermal_tpu.parallel import mesh as mesh_lib
+from nerfstudio_thermal_tpu.pipelines.base_pipeline import VanillaPipeline
+from nerfstudio_thermal_tpu.utils.writer import EventName, Writer
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+    steps_since_update: jax.Array  # proposal update counter (rgb)
+    steps_since_update_thermal: jax.Array
+    rng: jax.Array
+
+
+@dataclass
+class TrainerConfig:
+    """(reference trainer.py:52-89 / configs/experiment_config.py)."""
+
+    max_num_iterations: int = 30000
+    steps_per_save: int = 2000
+    steps_per_eval_batch: int = 500
+    steps_per_eval_image: int = 500
+    steps_per_eval_all_images: int = 25000
+    steps_per_log: int = 10
+    mixed_precision: bool = True
+    save_only_latest_checkpoint: bool = True
+    load_dir: Optional[Path] = None
+    load_step: Optional[int] = None
+    num_devices: Optional[int] = None
+    seed: int = 42
+    output_dir: Path = Path("outputs")
+    experiment_name: str = "experiment"
+    method_name: str = "method"
+    timestamp: str = "{timestamp}"
+    use_tensorboard: bool = False
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig,
+        pipeline: VanillaPipeline,
+        optimizer_configs: Dict[str, OptimizerGroupConfig],
+        base_dir: Optional[Path] = None,
+    ):
+        self.config = config
+        self.pipeline = pipeline
+        self.model = pipeline.model
+        self.datamanager = pipeline.datamanager
+        self.optimizer_configs = optimizer_configs
+        self.base_dir = Path(base_dir) if base_dir else Path(config.output_dir)
+        self.checkpoint_dir = self.base_dir / "nerfstudio_models"
+        self.writer = Writer(
+            self.base_dir, steps_per_log=config.steps_per_log,
+            use_tensorboard=config.use_tensorboard,
+        )
+
+        self.mesh = mesh_lib.create_mesh(config.num_devices)
+        self._train_step_jit = None
+        self._start_step = 0
+
+    # ------------------------------------------------------------------
+
+    def setup(self):
+        rng = jax.random.PRNGKey(self.config.seed)
+        rng, init_key = jax.random.split(rng)
+        params = self.model.init_params(init_key)
+        self.tx = build_optimizer(self.optimizer_configs, params)
+        opt_state = self.tx.init(params)
+        self.state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.asarray(0, jnp.int32),
+            steps_since_update=jnp.asarray(0, jnp.int32),
+            steps_since_update_thermal=jnp.asarray(0, jnp.int32),
+            rng=rng,
+        )
+        # Replicate the train state across the mesh; batches are sharded.
+        self.state = mesh_lib.replicate(self.state, self.mesh)
+        self.ray_generator = RayGenerator(
+            jax.tree.map(jnp.asarray, self.datamanager.train_cameras)
+        )
+        self._load_checkpoint()
+        self._build_train_step()
+
+    def _build_train_step(self):
+        model = self.model
+        cfg = model.config
+        tx = self.tx
+        ray_generator = self.ray_generator
+        use_anneal = getattr(cfg, "use_proposal_weight_anneal", True)
+        use_anneal_t = getattr(cfg, "use_proposal_thermal_weight_anneal", False)
+        anneal_iters = getattr(cfg, "proposal_weights_anneal_max_num_iters", 1000)
+        anneal_slope = getattr(cfg, "proposal_weights_anneal_slope", 10.0)
+        warmup = getattr(cfg, "proposal_warmup", 5000)
+        update_every = getattr(cfg, "proposal_update_every", 5)
+
+        batch_sharding = mesh_lib.batch_sharding(self.mesh)
+        replicated = mesh_lib.replicated_sharding(self.mesh)
+
+        def train_step(state: TrainState, batch):
+            rng, key_model, key_loss = jax.random.split(state.rng, 3)
+            step = state.step
+
+            anneal = (
+                proposal_anneal(step, anneal_iters, anneal_slope) if use_anneal else 1.0
+            )
+            updated, new_ssu = proposal_updated(
+                step, state.steps_since_update, warmup, update_every
+            )
+            if use_anneal_t:
+                anneal_t = proposal_anneal(step, anneal_iters, anneal_slope)
+                updated_t, new_ssu_t = proposal_updated(
+                    step, state.steps_since_update_thermal, warmup, update_every
+                )
+            else:
+                # Reference default: thermal sampler callbacks not registered,
+                # so its counter never advances -> always updated, anneal 1
+                # (thermal_nerfacto.py:222-255).
+                anneal_t = 1.0
+                updated_t = jnp.asarray(True)
+                new_ssu_t = state.steps_since_update_thermal
+
+            thermal_kwargs = {}
+            if hasattr(model, "output_suffixes"):
+                thermal_kwargs = dict(
+                    anneal_thermal=anneal_t, updated_thermal=updated_t
+                )
+
+            def loss_fn(params):
+                bundle = ray_generator(batch["ray_indices"])
+                outputs = model.forward(
+                    params, bundle, train=True, rng=key_model,
+                    anneal=anneal, updated=updated, **thermal_kwargs,
+                )
+                metrics = model.get_metrics_dict(params, outputs, batch, train=True)
+                loss_dict = model.get_loss_dict(
+                    params, outputs, batch, metrics, train=True, rng=key_loss
+                )
+                total = sum(jax.tree.leaves(loss_dict))
+                return total, (loss_dict, metrics)
+
+            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                opt_state=new_opt_state,
+                step=step + 1,
+                steps_since_update=new_ssu,
+                steps_since_update_thermal=new_ssu_t,
+                rng=rng,
+            )
+            scalars = {"loss": loss, **loss_dict, **metrics}
+            return new_state, scalars
+
+        self._train_step_jit = jax.jit(
+            train_step,
+            in_shardings=(replicated, batch_sharding),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+
+    def train_iteration(self, step: int):
+        batch = self.datamanager.next_train(step)
+        device_batch = mesh_lib.shard_batch(
+            {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+        )
+        self.state, scalars = self._train_step_jit(self.state, device_batch)
+        return scalars
+
+    def train(self):
+        self.writer.console_log(0, {})
+        num_rays = self.datamanager.config.train_num_rays_per_batch
+        t_last = time.perf_counter()
+        for step in range(self._start_step, self.config.max_num_iterations):
+            scalars = self.train_iteration(step)
+
+            if step % self.config.steps_per_log == 0:
+                scalars = {k: float(v) for k, v in scalars.items()}
+                t_now = time.perf_counter()
+                iter_time = (t_now - t_last) / max(self.config.steps_per_log, 1)
+                t_last = t_now
+                rays_per_sec = num_rays / max(iter_time, 1e-9)
+                scalars[EventName.TRAIN_RAYS_PER_SEC] = rays_per_sec
+                self.writer.write_scalar_dict(scalars, step, group="train")
+                self.writer.console_log(step, scalars)
+
+            if step > 0 and step % self.config.steps_per_eval_image == 0:
+                self.eval_iteration(step)
+            if step > 0 and step % self.config.steps_per_save == 0:
+                self.save_checkpoint(step)
+        self.save_checkpoint(self.config.max_num_iterations)
+
+    def eval_iteration(self, step: int):
+        try:
+            metrics, _ = self.pipeline.get_eval_image_metrics_and_images(
+                self.host_params(), step
+            )
+            self.writer.write_scalar_dict(metrics, step, group="eval")
+            self.writer.console_log(step, metrics)
+        except Exception as e:  # eval must not kill training (reference :352-356)
+            print(f"eval failed at step {step}: {e}")
+
+    def host_params(self):
+        return jax.tree.map(np.asarray, self.state.params)
+
+    # ------------------------------------------------------------------
+    # Checkpointing (reference trainer.py:389-453; orbax replaces torch.save)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, step: int):
+        if not mesh_lib.is_main_process():
+            return
+        import orbax.checkpoint as ocp
+
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        path = (self.checkpoint_dir / f"step-{step:09d}").absolute()
+        ckpt = {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "step": int(self.state.step),
+            "steps_since_update": int(self.state.steps_since_update),
+            "steps_since_update_thermal": int(self.state.steps_since_update_thermal),
+        }
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, ckpt, force=True)
+        if self.config.save_only_latest_checkpoint:
+            for p in sorted(self.checkpoint_dir.glob("step-*")):
+                if p.resolve() != path.resolve():
+                    import shutil
+
+                    shutil.rmtree(p, ignore_errors=True)
+
+    def _load_checkpoint(self):
+        load_dir = self.config.load_dir
+        if load_dir is None:
+            return
+        import orbax.checkpoint as ocp
+
+        load_dir = Path(load_dir)
+        if self.config.load_step is None:
+            candidates = sorted(load_dir.glob("step-*"))
+            if not candidates:
+                raise FileNotFoundError(f"no checkpoints in {load_dir}")
+            path = candidates[-1]
+        else:
+            path = load_dir / f"step-{self.config.load_step:09d}"
+        ckptr = ocp.PyTreeCheckpointer()
+        template = {
+            "params": jax.tree.map(np.asarray, self.state.params),
+            "opt_state": jax.tree.map(np.asarray, self.state.opt_state),
+            "step": 0,
+            "steps_since_update": 0,
+            "steps_since_update_thermal": 0,
+        }
+        restored = ckptr.restore(path.absolute(), item=template)
+        self.state = self.state.replace(
+            params=jax.tree.map(jnp.asarray, restored["params"]),
+            opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+            step=jnp.asarray(restored["step"], jnp.int32),
+            steps_since_update=jnp.asarray(restored["steps_since_update"], jnp.int32),
+            steps_since_update_thermal=jnp.asarray(
+                restored["steps_since_update_thermal"], jnp.int32
+            ),
+        )
+        self.state = mesh_lib.replicate(self.state, self.mesh)
+        self._start_step = int(restored["step"])
+        print(f"Loaded checkpoint {path} at step {self._start_step}")

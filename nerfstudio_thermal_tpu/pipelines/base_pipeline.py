@@ -1,0 +1,82 @@
+"""Pipeline: glue of datamanager + model.
+
+Behavioral spec: reference `nerfstudio/pipelines/base_pipeline.py:223-439`
+(`get_train_loss_dict:291`, eval-image metric aggregation tolerant of
+missing keys :391-404 — RGB metrics only exist on RGB eval images). The DDP
+wrap/barrier (:280-283) disappears: parallelism is sharding in the trainer.
+"""
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+from nerfstudio_thermal_tpu.data.datamanagers import VanillaDataManager
+from nerfstudio_thermal_tpu.models.base_model import Model
+from nerfstudio_thermal_tpu.utils.math import psnr as psnr_fn, ssim as ssim_fn
+
+
+class VanillaPipeline:
+    def __init__(self, datamanager: VanillaDataManager, model: Model):
+        self.datamanager = datamanager
+        self.model = model
+
+    # The jitted train path lives in engine/trainer.py (the jit boundary is
+    # the whole step); this class provides the eval-image machinery.
+
+    def get_eval_image_metrics_and_images(
+        self, params, step: int, rng=None
+    ) -> Tuple[Dict[str, float], Dict[str, np.ndarray]]:
+        """Render the next eval image and compute per-modality metrics
+        (reference base_pipeline.py:314-345 + thermal_nerfacto.py:491-564)."""
+        idx, batch = self.datamanager.next_eval_image(step)
+        outputs = self.model.get_outputs_for_camera(
+            params, self.datamanager.eval_cameras, idx, rng=rng
+        )
+        return self.compute_image_metrics(outputs, batch, idx)
+
+    def compute_image_metrics(self, outputs, batch, idx: int):
+        import jax.numpy as jnp
+
+        gt = np.asarray(batch["image"])[..., :3]
+        is_thermal = float(np.asarray(batch.get("is_thermal", 0.0)))
+        metrics: Dict[str, float] = {}
+        images: Dict[str, np.ndarray] = {}
+
+        pred_rgb = outputs["rgb"]
+        if is_thermal < 1:
+            metrics["psnr_rgb"] = float(psnr_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
+            metrics["ssim_rgb"] = float(ssim_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
+            images["img"] = np.concatenate([gt, pred_rgb], axis=1)
+        elif "rgb_thermal" in outputs:
+            gt_t = gt[..., :1]
+            pred_t = outputs["rgb_thermal"]
+            metrics["psnr_thermal"] = float(
+                psnr_fn(jnp.asarray(pred_t), jnp.asarray(gt_t))
+            )
+            metrics["ssim_thermal"] = float(
+                ssim_fn(jnp.asarray(pred_t), jnp.asarray(gt_t))
+            )
+            images["img"] = np.concatenate(
+                [np.repeat(gt_t, 3, -1), np.repeat(pred_t, 3, -1)], axis=1
+            )
+        images["depth"] = outputs["depth"]
+        images["accumulation"] = outputs["accumulation"]
+        return metrics, images
+
+    def get_average_eval_image_metrics(
+        self, params, step: int = 0, rng=None
+    ) -> Dict[str, float]:
+        """Mean/std over the eval set, key-tolerant (reference :347-406)."""
+        n = len(self.datamanager.eval_dataset)
+        all_metrics = []
+        for _ in range(n):
+            m, _ = self.get_eval_image_metrics_and_images(params, step, rng=rng)
+            all_metrics.append(m)
+        keys = {k for m in all_metrics for k in m}
+        out = {}
+        for k in keys:
+            vals = [m[k] for m in all_metrics if k in m]
+            out[k] = float(np.mean(vals))
+            out[f"{k}_std"] = float(np.std(vals))
+        return out

@@ -1,0 +1,117 @@
+"""ns-train: train a registered method.
+
+Behavioral spec: reference `nerfstudio/scripts/train.py` — method subcommand,
+nested config flags, config.yml + dataparser_transforms.json persistence.
+Multi-process GPU spawn (reference :160-223) is replaced by one JAX process
+per host + SPMD sharding (see parallel/mesh.py); multi-host runs pass
+--machine.num-machines etc. and call jax.distributed.initialize.
+
+Usage:
+    ns-train thermal-nerfacto --data /path/to/scene \
+        [--pipeline.model.density-mode separate] [--max-num-iterations 30000] ...
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+from nerfstudio_thermal_tpu.configs.cli import CLIError, apply_cli_overrides, print_config_help
+from nerfstudio_thermal_tpu.configs.method_configs import (
+    descriptions,
+    get_method_config,
+    method_configs,
+    setup_trainer,
+)
+from nerfstudio_thermal_tpu.configs.serialization import save_config
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: ns-train METHOD [--data PATH] [--<config.path> VALUE ...]\n")
+        print("methods:")
+        from nerfstudio_thermal_tpu.plugins.registry import discover_methods
+
+        discover_methods(method_configs)
+        for name in sorted(method_configs):
+            print(f"  {name:24s} {descriptions.get(name, '')}")
+        return 0
+
+    method = argv[0]
+    config = get_method_config(method)
+
+    rest = argv[1:]
+    # top-level conveniences mapped into the tree
+    mapped = []
+    i = 0
+    while i < len(rest):
+        tok = rest[i]
+        key = tok.lstrip("-").replace("-", "_").split("=")[0]
+        if tok.startswith("--") and key in (
+            "data", "max_num_iterations", "output_dir", "experiment_name",
+            "viewer_port", "vis",
+        ):
+            val = tok.split("=", 1)[1] if "=" in tok else rest[i + 1]
+            i += 1 if "=" in tok else 2
+            if key == "data":
+                config.data = Path(val)
+            elif key == "max_num_iterations":
+                config.trainer.max_num_iterations = int(val)
+            elif key == "output_dir":
+                config.trainer.output_dir = Path(val)
+            elif key == "experiment_name":
+                config.trainer.experiment_name = val
+            # vis/viewer_port accepted for CLI parity; viewer wiring in scripts/viewer
+            continue
+        mapped.append(tok)
+        i += 1
+
+    if "--help-flags" in mapped:
+        print_config_help(config)
+        return 0
+
+    try:
+        config, positionals = apply_cli_overrides(config, mapped)
+    except CLIError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if positionals:
+        print(f"error: unexpected arguments {positionals}", file=sys.stderr)
+        return 2
+    if config.data is None:
+        print("error: --data is required", file=sys.stderr)
+        return 2
+
+    timestamp = time.strftime("%Y-%m-%d_%H%M%S")
+    exp = config.trainer.experiment_name
+    if exp == "experiment":
+        exp = Path(config.data).name
+        config.trainer.experiment_name = exp
+    base_dir = Path(config.trainer.output_dir) / exp / method / timestamp
+    base_dir.mkdir(parents=True, exist_ok=True)
+
+    save_config(config, base_dir / "config.yml")
+    print(f"config saved to {base_dir / 'config.yml'}")
+
+    trainer = setup_trainer(config, base_dir=base_dir)
+    trainer.setup()
+
+    # Persist the dataparser transform for later renders
+    # (reference trainer.py:228-230).
+    dpo = trainer.datamanager.train_dataparser_outputs
+    (base_dir / "dataparser_transforms.json").write_text(
+        json.dumps(dpo.as_dict(), indent=2)
+    )
+
+    trainer.train()
+    print(f"training complete; outputs in {base_dir}")
+    return 0
+
+
+def entrypoint():
+    sys.exit(main())
+
+
+if __name__ == "__main__":
+    entrypoint()
