@@ -1,0 +1,145 @@
+"""Benchmark: thermal-nerfacto training throughput (TRAIN_RAYS_PER_SEC).
+
+Runs the flagship model (thermal-nerfacto, separate density mode) at the
+reference workload constants (SURVEY.md §6 / BASELINE.md: 8192 rays/batch in
+2x2 patches, 48 nerf + (256, 96) proposal samples/ray, 16-level 2^19 hash
+grid, mixed precision) on whatever accelerator JAX provides, and prints one
+JSON line:
+
+    {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R}
+
+vs_baseline is value / 200_000: the reference publishes no numbers
+(BASELINE.md), so the denominator is the commonly observed ~200k train
+rays/s of tcnn-backed nerfacto-class models on a single A100 — i.e.
+vs_baseline >= 5 meets the driver's "5x A100/chip" north star.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+A100_BASELINE_RAYS_PER_SEC = 200_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nerfstudio_thermal_tpu.models.thermal_nerfacto import (
+        ThermalNerfactoModel,
+        ThermalNerfactoModelConfig,
+    )
+    from nerfstudio_thermal_tpu.engine.optimizers import build_optimizer
+    from nerfstudio_thermal_tpu.configs.method_configs import make_thermal_nerfacto
+    from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+    from nerfstudio_thermal_tpu.model_components.ray_generators import RayGenerator
+    import optax
+
+    num_rays = 8192
+    num_cameras = 64
+    h, w = 480, 640
+
+    cfg = ThermalNerfactoModelConfig(
+        density_mode="separate",
+        compute_dtype="bfloat16",
+        use_pallas=False,
+    )
+    aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    is_thermal = [i % 2 for i in range(num_cameras)]
+    model = ThermalNerfactoModel(
+        cfg, aabb, num_train_data=num_cameras, metadata={"is_thermal": is_thermal}
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    # synthetic cameras on a circle
+    rng = np.random.default_rng(0)
+    angles = np.linspace(0, 2 * np.pi, num_cameras, endpoint=False)
+    c2w = np.tile(np.eye(4, dtype=np.float32)[:3], (num_cameras, 1, 1))
+    c2w[:, 0, 3] = 2.0 * np.cos(angles)
+    c2w[:, 1, 3] = 2.0 * np.sin(angles)
+    cameras = Cameras(
+        camera_to_worlds=jnp.asarray(c2w),
+        fx=jnp.full((num_cameras,), 500.0),
+        fy=jnp.full((num_cameras,), 500.0),
+        cx=jnp.full((num_cameras,), w / 2),
+        cy=jnp.full((num_cameras,), h / 2),
+        width=jnp.full((num_cameras,), w, jnp.int32),
+        height=jnp.full((num_cameras,), h, jnp.int32),
+        distortion_params=jnp.zeros((num_cameras, 6)),
+        camera_type=jnp.full((num_cameras,), CameraType.PERSPECTIVE.value, jnp.int32),
+    )
+    ray_generator = RayGenerator(cameras)
+
+    method = make_thermal_nerfacto()
+    tx = build_optimizer(method.optimizers, params)
+    opt_state = tx.init(params)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        n_patches = num_rays // 4
+        cams = r.integers(0, num_cameras, n_patches)
+        ys = r.integers(0, h - 2, n_patches)
+        xs = r.integers(0, w - 2, n_patches)
+        dy, dx = np.meshgrid([0, 1], [0, 1], indexing="ij")
+        ray_indices = np.stack(
+            [
+                np.repeat(cams, 4),
+                (ys[:, None, None] + dy).reshape(-1),
+                (xs[:, None, None] + dx).reshape(-1),
+            ],
+            -1,
+        ).astype(np.int32)
+        return {
+            "ray_indices": jnp.asarray(ray_indices),
+            "image": jnp.asarray(r.uniform(size=(num_rays, 3)).astype(np.float32)),
+            "is_thermal": jnp.asarray(
+                np.repeat((cams % 2).astype(np.float32), 4)
+            ),
+        }
+
+    @jax.jit
+    def train_step(params, opt_state, key, batch):
+        def loss_fn(p):
+            bundle = ray_generator(batch["ray_indices"])
+            outputs = model.forward(p, bundle, train=True, rng=key)
+            metrics = model.get_metrics_dict(p, outputs, batch, train=True)
+            losses = model.get_loss_dict(p, outputs, batch, metrics, train=True, rng=key)
+            return sum(jax.tree.leaves(losses)), losses
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    batches = [make_batch(i) for i in range(8)]
+
+    # warmup / compile
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub, batches[i % 8])
+    jax.block_until_ready(loss)
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, sub, batches[i % 8])
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = num_rays * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,30 @@ from nerfstudio_thermal_tpu.cameras.rays import (
 def searchsorted_batched(a: jax.Array, v: jax.Array, side: str = "right") -> jax.Array:
     """searchsorted over the last axis with matching batch dims.
 
-    a: [..., M] sorted, v: [..., K] -> int32 [..., K].
+    a: [..., M] sorted, v: [..., K] *sorted* -> int32 [..., K].
+
+    TPU note: implemented as a batched merge via double argsort (one stable
+    sort of the concatenation + one argsort to invert), instead of a vmapped
+    binary search — the scan-based lowering of jnp.searchsorted is slow to
+    compile and serial at runtime. Requires v sorted along the last axis,
+    which holds for every call site (inverse-CDF samples, histogram edges,
+    cumulative weights).
     """
-    flat_a = a.reshape(-1, a.shape[-1])
-    flat_v = v.reshape(-1, v.shape[-1])
-    out = jax.vmap(lambda aa, vv: jnp.searchsorted(aa, vv, side=side))(flat_a, flat_v)
-    return out.reshape(*v.shape).astype(jnp.int32)
+    m = a.shape[-1]
+    k = v.shape[-1]
+    if side == "right":
+        # stable sort with a's first among equals -> v lands after equal a's
+        av = jnp.concatenate([a, v], axis=-1)
+    else:
+        # v's first among equals -> insertion before equal a's
+        av = jnp.concatenate([v, a], axis=-1)
+    order = jnp.argsort(av, axis=-1, stable=True)
+    pos = jnp.argsort(order, axis=-1)  # position of each input element
+    if side == "right":
+        v_pos = pos[..., m:]
+    else:
+        v_pos = pos[..., :k]
+    return (v_pos - jnp.arange(k, dtype=v_pos.dtype)).astype(jnp.int32)
 
 
 def spaced_sample(

@@ -12,6 +12,7 @@ scatter-adds. `ops/pallas/hash_encoding.py` provides a fused Pallas kernel for
 the same semantics on the training hot path.
 """
 
+import functools
 import math
 from typing import Optional
 
@@ -54,6 +55,46 @@ def spatial_hash(coords: jax.Array, table_size: int) -> jax.Array:
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
+def _hash_factors(positions, scalings, table_size):
+    """Per-dimension hash factors and trilerp weights, [L, N] each.
+
+    Structuring the corner hash as an xor of per-dimension products means no
+    [N, L, 8, 3] corner buffer is ever materialized (that OOMs at train
+    shapes: 2M pts x 5 levels x 8 corners x 3 coords). All intermediates live
+    in transposed [L, N] layout: the large N dim sits in the TPU lane
+    dimension (128-wide), so nothing is padded. (A [N*L, F=2] layout pads the
+    lane dim 64x and OOMs at train shapes.)
+    """
+    dim_f, dim_c, w_f, w_c = [], [], [], []
+    for d in range(3):
+        scaled = positions[:, d][None, :].astype(jnp.float32) * scalings[:, None]  # [L, N]
+        floor = jnp.floor(scaled)
+        offset = scaled - floor
+        dim_f.append(floor.astype(jnp.int32).astype(jnp.uint32) * _HASH_PRIMES[d])
+        dim_c.append(jnp.ceil(scaled).astype(jnp.int32).astype(jnp.uint32) * _HASH_PRIMES[d])
+        w_f.append(1.0 - offset)
+        w_c.append(offset)
+    return dim_f, dim_c, w_f, w_c
+
+
+def _corner_index(dim_f, dim_c, bits, table_size, level_offset):
+    h = (
+        (dim_c[0] if bits[0] else dim_f[0])
+        ^ (dim_c[1] if bits[1] else dim_f[1])
+        ^ (dim_c[2] if bits[2] else dim_f[2])
+    )
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32) + level_offset
+
+
+def _corner_weight(w_f, w_c, bits):
+    return (
+        (w_c[0] if bits[0] else w_f[0])
+        * (w_c[1] if bits[1] else w_f[1])
+        * (w_c[2] if bits[2] else w_f[2])
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def hash_encode(
     table: jax.Array,
     positions: jax.Array,
@@ -71,29 +112,92 @@ def hash_encode(
 
     Returns:
         [..., L * F] trilinearly interpolated features.
+
+    Memory: a custom VJP saves only (table, positions) and *recomputes* the 8
+    corner gathers in the backward, scatter-adding table gradients — the
+    default AD would otherwise hold all 8 gathered [..., L, F] buffers across
+    the whole proposal/field stack (tens of GB at 8192x256 train shapes).
     """
+    return _hash_encode_fwd_impl(table, positions, scalings, table_size, compute_dtype)
+
+
+def _hash_encode_fwd_impl(table, positions, scalings, table_size, compute_dtype):
     num_levels = scalings.shape[0]
     features_per_level = table.shape[-1]
+    batch_shape = positions.shape[:-1]
+    pos_flat = positions.reshape(-1, 3)
 
-    scaled = positions[..., None, :].astype(jnp.float32) * scalings[:, None]  # [..., L, 3]
-    floor = jnp.floor(scaled)
-    offset = (scaled - floor).astype(compute_dtype)  # [..., L, 3]
-    f = floor.astype(jnp.int32)
-    c = jnp.ceil(scaled).astype(jnp.int32)
-
-    corner_bits = jnp.asarray(_CORNER_BITS)  # [8, 3]
-    # [..., L, 8, 3]: pick ceil where bit set, floor otherwise.
-    corners = jnp.where(corner_bits, c[..., None, :], f[..., None, :])
-    idx = spatial_hash(corners, table_size)  # [..., L, 8]
+    dim_f, dim_c, w_f, w_c = _hash_factors(pos_flat, scalings, table_size)
     level_offset = (jnp.arange(num_levels, dtype=jnp.int32) * table_size)[:, None]
-    idx = idx + level_offset
+    # 1-D table columns: gathers of [L, N] indices from a [L*T] vector keep N
+    # in the lane dim — zero padding waste (vs [.., F=2]-wide gathers).
+    table_cols = [table[:, fc].astype(compute_dtype) for fc in range(features_per_level)]
 
-    feats = table.astype(compute_dtype)[idx]  # [..., L, 8, F]
-    # Trilinear weights: offset for ceil corners, (1 - offset) for floor.
-    w = jnp.where(corner_bits, offset[..., None, :], 1.0 - offset[..., None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # [..., L, 8]
-    out = jnp.sum(feats * w[..., None], axis=-2)  # [..., L, F]
-    return out.reshape(*positions.shape[:-1], num_levels * features_per_level)
+    out_cols = [None] * features_per_level
+    for corner in range(8):
+        bits = _CORNER_BITS[corner]
+        idx = _corner_index(dim_f, dim_c, bits, table_size, level_offset)  # [L, N]
+        w = _corner_weight(w_f, w_c, bits).astype(compute_dtype)  # [L, N]
+        for fc in range(features_per_level):
+            contrib = table_cols[fc][idx] * w
+            out_cols[fc] = contrib if out_cols[fc] is None else out_cols[fc] + contrib
+
+    out = jnp.stack(out_cols, axis=-1)  # [L, N, F]
+    out = jnp.swapaxes(out, 0, 1)  # [N, L, F]
+    return out.reshape(*batch_shape, num_levels * features_per_level)
+
+
+def _hash_encode_fwd(table, positions, scalings, table_size, compute_dtype):
+    out = _hash_encode_fwd_impl(table, positions, scalings, table_size, compute_dtype)
+    return out, (table, positions, scalings)
+
+
+def _hash_encode_bwd(table_size, compute_dtype, res, g):
+    table, positions, scalings = res
+    num_levels = scalings.shape[0]
+    features_per_level = table.shape[-1]
+    batch_shape = positions.shape[:-1]
+    pos_flat = positions.reshape(-1, 3)
+    n = pos_flat.shape[0]
+
+    g = g.reshape(n, num_levels, features_per_level).astype(jnp.float32)
+    g_cols = [jnp.swapaxes(g[:, :, fc], 0, 1) for fc in range(features_per_level)]  # [L, N]
+
+    dim_f, dim_c, w_f, w_c = _hash_factors(pos_flat, scalings, table_size)
+    level_offset = (jnp.arange(num_levels, dtype=jnp.int32) * table_size)[:, None]
+    table_cols = [table[:, fc].astype(jnp.float32) for fc in range(features_per_level)]
+
+    d_table_cols = [
+        jnp.zeros((table.shape[0],), jnp.float32) for _ in range(features_per_level)
+    ]
+    # d(out)/d(offset_d) per corner: +/- product of the other two weights.
+    d_off = [jnp.zeros_like(w_f[0]) for _ in range(3)]
+    for corner in range(8):
+        bits = _CORNER_BITS[corner]
+        idx = _corner_index(dim_f, dim_c, bits, table_size, level_offset)  # [L, N]
+        w = _corner_weight(w_f, w_c, bits).astype(jnp.float32)
+        idx_flat = idx.reshape(-1)
+        g_dot_feat = jnp.zeros_like(w)
+        for fc in range(features_per_level):
+            d_table_cols[fc] = d_table_cols[fc].at[idx_flat].add(
+                (g_cols[fc] * w).reshape(-1)
+            )
+            g_dot_feat = g_dot_feat + g_cols[fc] * table_cols[fc][idx]
+        ws = [w_c[d] if bits[d] else w_f[d] for d in range(3)]
+        signs = [1.0 if bits[d] else -1.0 for d in range(3)]
+        d_off[0] = d_off[0] + g_dot_feat * signs[0] * ws[1] * ws[2]
+        d_off[1] = d_off[1] + g_dot_feat * signs[1] * ws[0] * ws[2]
+        d_off[2] = d_off[2] + g_dot_feat * signs[2] * ws[0] * ws[1]
+
+    d_table = jnp.stack(d_table_cols, axis=-1).astype(table.dtype)
+    # offset = positions * scaling - floor  =>  d/d(positions) = scaling
+    d_positions = jnp.stack(
+        [jnp.sum(d_off[d] * scalings[:, None], axis=0) for d in range(3)], axis=-1
+    ).reshape(*batch_shape, 3).astype(positions.dtype)
+    return d_table, d_positions, jnp.zeros_like(scalings)
+
+
+hash_encode.defvjp(_hash_encode_fwd, _hash_encode_bwd)
 
 
 class HashEncoding(nn.Module):
@@ -141,7 +245,7 @@ class HashEncoding(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
         return hash_encode(
-            table, positions, scalings, self.table_size, compute_dtype=self.compute_dtype
+            table, positions, scalings, self.table_size, self.compute_dtype
         )
 
 
