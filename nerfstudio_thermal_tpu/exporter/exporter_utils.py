@@ -1,0 +1,120 @@
+"""Export helpers: depth-backprojected point clouds + PLY writing.
+
+Behavioral spec: reference `nerfstudio/exporter/exporter_utils.py`
+(`generate_point_cloud`: render rays, keep points with accumulation above a
+threshold, backproject expected depth; the reference uses open3d/torch — here
+plain numpy with a built-in binary PLY writer since open3d/plyfile are not in
+the image).
+"""
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def write_ply(
+    path: Path,
+    points: np.ndarray,  # [N, 3] float
+    colors: Optional[np.ndarray] = None,  # [N, 3] float in [0,1]
+    normals: Optional[np.ndarray] = None,
+) -> None:
+    """Binary little-endian PLY."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    n = points.shape[0]
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+    header += [f"property float {a}" for a in "xyz"]
+    dtype = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if normals is not None:
+        header += [f"property float n{a}" for a in "xyz"]
+        dtype += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+    if colors is not None:
+        header += [
+            "property uchar red", "property uchar green", "property uchar blue",
+        ]
+        dtype += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    header.append("end_header")
+
+    data = np.empty(n, dtype=dtype)
+    data["x"], data["y"], data["z"] = points[:, 0], points[:, 1], points[:, 2]
+    if normals is not None:
+        data["nx"], data["ny"], data["nz"] = normals[:, 0], normals[:, 1], normals[:, 2]
+    if colors is not None:
+        c = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+        data["red"], data["green"], data["blue"] = c[:, 0], c[:, 1], c[:, 2]
+
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        f.write(data.tobytes())
+
+
+def read_ply(path: Path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Read back a PLY written by write_ply (for tests/round-trips)."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode().strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        n = int(next(l for l in header if l.startswith("element vertex")).split()[-1])
+        props = [l.split()[1:] for l in header if l.startswith("property")]
+        dtype = []
+        for typ, name in props:
+            dtype.append((name, "<f4" if typ == "float" else "u1"))
+        data = np.frombuffer(f.read(), dtype=dtype, count=n)
+    points = np.stack([data["x"], data["y"], data["z"]], -1)
+    colors = None
+    if "red" in data.dtype.names:
+        colors = np.stack([data["red"], data["green"], data["blue"]], -1) / 255.0
+    return points, colors
+
+
+def generate_point_cloud(
+    model,
+    params,
+    cameras,
+    num_cameras: Optional[int] = None,
+    min_accumulation: float = 0.5,
+    use_thermal_color: bool = False,
+    stride: int = 4,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Backproject expected depth from eval cameras into a colored point
+    cloud. Returns (points [N,3], colors [N,3])."""
+    points_all, colors_all = [], []
+    n = num_cameras if num_cameras is not None else len(cameras)
+    for i in range(min(n, len(cameras))):
+        outputs = model.get_outputs_for_camera(params, cameras, i)
+        depth = outputs["expected_depth"][::stride, ::stride, 0]
+        acc = outputs["accumulation"][::stride, ::stride, 0]
+        rgb_key = "rgb_thermal" if use_thermal_color and "rgb_thermal" in outputs else "rgb"
+        rgb = outputs[rgb_key][::stride, ::stride]
+        if rgb.shape[-1] == 1:
+            rgb = np.repeat(rgb, 3, -1)
+
+        h, w = depth.shape
+        fx = float(cameras.fx[i]) / stride
+        fy = float(cameras.fy[i]) / stride
+        cx = float(cameras.cx[i]) / stride
+        cy = float(cameras.cy[i]) / stride
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        # OpenGL camera: x right, y up, -z forward
+        dirs = np.stack(
+            [
+                (xs + 0.5 - cx) / fx,
+                -(ys + 0.5 - cy) / fy,
+                -np.ones_like(depth),
+            ],
+            -1,
+        )
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        c2w = np.asarray(cameras.camera_to_worlds[i])
+        world_dirs = dirs @ c2w[:3, :3].T
+        origin = c2w[:3, 3]
+        pts = origin + world_dirs * depth[..., None]
+
+        mask = acc > min_accumulation
+        points_all.append(pts[mask])
+        colors_all.append(rgb[mask])
+    return np.concatenate(points_all), np.concatenate(colors_all)

@@ -1,0 +1,115 @@
+"""Embedded single-file web client for the viewer (orbit camera + output
+selector). Served by viewer/server.py; talks JSON-over-websocket."""
+
+CLIENT_HTML = r"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8"/>
+<title>nerfstudio-thermal-tpu viewer</title>
+<style>
+  body { margin:0; background:#111; color:#ddd; font-family:monospace; overflow:hidden; }
+  #hud { position:absolute; top:8px; left:8px; background:#000a; padding:8px; border-radius:6px; }
+  canvas { display:block; width:100vw; height:100vh; object-fit:contain; }
+  select,button { background:#222; color:#ddd; border:1px solid #555; margin:2px; }
+</style>
+</head>
+<body>
+<div id="hud">
+  <div>output: <select id="output"></select></div>
+  <div>res: <select id="res">
+    <option value="256">256</option>
+    <option value="512" selected>512</option>
+    <option value="1024">1024</option>
+    <option value="1920">1920</option>
+  </select></div>
+  <div id="stats">connecting...</div>
+</div>
+<canvas id="view"></canvas>
+<script>
+const canvas = document.getElementById('view');
+const ctx = canvas.getContext('2d');
+const stats = document.getElementById('stats');
+const outputSel = document.getElementById('output');
+const resSel = document.getElementById('res');
+
+let theta = 0.5, phi = 1.2, radius = 3.0, target = [0,0,0];
+let dragging = false, lastX = 0, lastY = 0;
+let ws = null, inflight = false, dirty = true;
+
+function cameraPose() {
+  const ct = Math.cos(theta), st = Math.sin(theta);
+  const cp = Math.cos(phi), sp = Math.sin(phi);
+  const eye = [ target[0] + radius*cp*ct, target[1] + radius*cp*st, target[2] + radius*sp ];
+  // look-at with +z up, OpenGL convention (-z forward)
+  let f = [target[0]-eye[0], target[1]-eye[1], target[2]-eye[2]];
+  const fn = Math.hypot(...f); f = f.map(v=>v/fn);
+  let up = [0,0,1];
+  let r = [ f[1]*up[2]-f[2]*up[1], f[2]*up[0]-f[0]*up[2], f[0]*up[1]-f[1]*up[0] ];
+  const rn = Math.hypot(...r); r = r.map(v=>v/rn);
+  const u = [ r[1]*f[2]-r[2]*f[1], r[2]*f[0]-r[0]*f[2], r[0]*f[1]-r[1]*f[0] ];
+  return [
+    [r[0], u[0], -f[0], eye[0]],
+    [r[1], u[1], -f[1], eye[1]],
+    [r[2], u[2], -f[2], eye[2]],
+  ];
+}
+
+canvas.addEventListener('mousedown', e => { dragging = true; lastX=e.clientX; lastY=e.clientY; });
+window.addEventListener('mouseup', () => dragging = false);
+window.addEventListener('mousemove', e => {
+  if (!dragging) return;
+  theta -= (e.clientX-lastX)*0.005;
+  phi = Math.min(1.5, Math.max(-1.5, phi + (e.clientY-lastY)*0.005));
+  lastX=e.clientX; lastY=e.clientY; dirty = true;
+});
+canvas.addEventListener('wheel', e => { radius *= Math.exp(e.deltaY*0.001); dirty=true; });
+outputSel.addEventListener('change', ()=> dirty=true);
+resSel.addEventListener('change', ()=> dirty=true);
+
+function connect() {
+  ws = new WebSocket(`ws://${location.hostname}:${parseInt(location.port)+1}`);
+  ws.binaryType = 'arraybuffer';
+  ws.onopen = () => { stats.textContent = 'connected'; tick(); };
+  ws.onclose = () => { stats.textContent = 'disconnected, retrying...'; setTimeout(connect, 1000); };
+  ws.onmessage = ev => {
+    if (typeof ev.data === 'string') {
+      const msg = JSON.parse(ev.data);
+      if (msg.type === 'outputs') {
+        outputSel.innerHTML = '';
+        for (const o of msg.names) {
+          const opt = document.createElement('option');
+          opt.value = o; opt.textContent = o;
+          outputSel.appendChild(opt);
+        }
+      } else if (msg.type === 'stats') {
+        stats.textContent = `${msg.render_ms.toFixed(0)} ms  ${msg.width}x${msg.height}`;
+      }
+      return;
+    }
+    const blob = new Blob([ev.data], {type: 'image/jpeg'});
+    createImageBitmap(blob).then(img => {
+      canvas.width = img.width; canvas.height = img.height;
+      ctx.drawImage(img, 0, 0);
+      inflight = false;
+    });
+  };
+}
+
+function tick() {
+  if (ws && ws.readyState === 1 && dirty && !inflight) {
+    inflight = true; dirty = false;
+    ws.send(JSON.stringify({
+      type: 'camera',
+      c2w: cameraPose(),
+      width: parseInt(resSel.value),
+      aspect: window.innerWidth / window.innerHeight,
+      output: outputSel.value || 'rgb',
+    }));
+  }
+  requestAnimationFrame(tick);
+}
+connect();
+</script>
+</body>
+</html>
+"""

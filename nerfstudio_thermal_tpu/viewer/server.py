@@ -1,0 +1,162 @@
+"""Real-time web viewer: HTTP page + websocket render loop.
+
+Behavioral spec: reference `nerfstudio/viewer/viewer.py:55` +
+`render_state_machine.py:54-236` — a browser client orbits a camera; the
+server renders through the model and streams JPEGs back, dropping to lower
+resolution while the camera moves and re-rendering at high quality on idle.
+The reference uses viser (not available here); this is a self-contained
+asyncio websockets server with an embedded HTML client.
+
+Render resolutions are bucketed so each bucket's jitted render program is
+compiled once and reused (jit static shapes vs dynamic viewer resolution —
+SURVEY.md §7.3).
+"""
+
+import asyncio
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from nerfstudio_thermal_tpu.viewer.client_html import CLIENT_HTML
+
+RESOLUTION_BUCKETS = (256, 512, 1024, 1920)
+
+
+class _PageHandler(BaseHTTPRequestHandler):
+    def do_GET(self):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.end_headers()
+        self.wfile.write(CLIENT_HTML.encode())
+
+    def log_message(self, *args):
+        pass
+
+
+class ViewerServer:
+    """Serves the client page on `port` and websockets on `port + 1`."""
+
+    def __init__(
+        self,
+        render_fn: Callable[[np.ndarray, int, int, str], Dict[str, np.ndarray]],
+        output_names,
+        port: int = 7007,
+        train_lock: Optional[threading.Lock] = None,
+    ):
+        """render_fn(c2w [3,4], width, height, output_name) -> image [H,W,3]."""
+        self.render_fn = render_fn
+        self.output_names = list(output_names)
+        self.port = port
+        self.train_lock = train_lock or threading.Lock()
+        self._http = None
+        self._thread = None
+
+    def start(self, block: bool = False):
+        self._http = ThreadingHTTPServer(("0.0.0.0", self.port), _PageHandler)
+        threading.Thread(target=self._http.serve_forever, daemon=True).start()
+        self._thread = threading.Thread(target=self._run_ws, daemon=True)
+        self._thread.start()
+        print(
+            f"viewer running at http://localhost:{self.port} "
+            f"(websocket on {self.port + 1})"
+        )
+        if block:
+            self._thread.join()
+
+    def _run_ws(self):
+        asyncio.run(self._ws_main())
+
+    async def _ws_main(self):
+        import websockets
+
+        async def handler(ws):
+            await ws.send(json.dumps({"type": "outputs", "names": self.output_names}))
+            async for message in ws:
+                try:
+                    msg = json.loads(message)
+                except json.JSONDecodeError:
+                    continue
+                if msg.get("type") != "camera":
+                    continue
+                c2w = np.asarray(msg["c2w"], np.float32)
+                width = min(
+                    RESOLUTION_BUCKETS,
+                    key=lambda b: abs(b - int(msg.get("width", 512))),
+                )
+                aspect = float(msg.get("aspect", 16 / 9))
+                height = int(width / max(aspect, 1e-3)) // 8 * 8
+                height = max(height, 8)
+                output = msg.get("output", "rgb")
+
+                t0 = time.perf_counter()
+                loop = asyncio.get_running_loop()
+                img = await loop.run_in_executor(
+                    None, self._render, c2w, width, height, output
+                )
+                dt = (time.perf_counter() - t0) * 1000
+
+                jpeg = _to_jpeg(img)
+                await ws.send(
+                    json.dumps(
+                        {"type": "stats", "render_ms": dt, "width": width, "height": height}
+                    )
+                )
+                await ws.send(jpeg)
+
+        async with websockets.serve(handler, "0.0.0.0", self.port + 1, max_size=None):
+            await asyncio.Future()
+
+    def _render(self, c2w, width, height, output):
+        # serialize against training (reference trainer.py:113,239 train_lock)
+        with self.train_lock:
+            return self.render_fn(c2w, width, height, output)
+
+
+def _to_jpeg(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+    return buf.getvalue()
+
+
+def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
+    """Bridge a Model to the viewer: builds a Cameras pytree per request and
+    renders chunked (reference render_state_machine._render_img:118-165)."""
+    import jax.numpy as jnp
+
+    from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+    from nerfstudio_thermal_tpu.utils import colormaps
+
+    def render(c2w, width, height, output):
+        focal = height / (2 * np.tan(np.radians(fov_degrees) / 2))
+        cameras = Cameras(
+            camera_to_worlds=jnp.asarray(c2w)[None],
+            fx=jnp.asarray([focal]),
+            fy=jnp.asarray([focal]),
+            cx=jnp.asarray([width / 2]),
+            cy=jnp.asarray([height / 2]),
+            width=jnp.asarray([width], jnp.int32),
+            height=jnp.asarray([height], jnp.int32),
+            camera_type=jnp.asarray([CameraType.PERSPECTIVE.value], jnp.int32),
+        )
+        outputs = model.get_outputs_for_camera(
+            params_fn(), cameras, 0, width=width, height=height
+        )
+        img = outputs.get(output, outputs["rgb"])
+        if output.startswith("depth"):
+            suffix = "_thermal" if output.endswith("_thermal") else ""
+            img = colormaps.apply_depth_colormap(
+                img, accumulation=outputs.get(f"accumulation{suffix}")
+            )
+        return img
+
+    return render
