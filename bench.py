@@ -41,9 +41,17 @@ def main():
     num_cameras = 64
     h, w = 480, 640
 
+    # TPU flagship config (thermal-nerfacto-tpu): compute-dense fields.
+    # The hash-grid parity path exists but XLA lowers its random gathers to a
+    # ~serial path on v5e (~0.4 G rows/s measured), so the fast configuration
+    # trades table lookups for MXU FLOPs (see configs/method_configs.py).
+    from nerfstudio_thermal_tpu.configs.method_configs import _FREQ_PROPOSAL_ARGS
+
     cfg = ThermalNerfactoModelConfig(
         density_mode="separate",
         compute_dtype="bfloat16",
+        field_encoding="freq",
+        proposal_net_args_list=list(_FREQ_PROPOSAL_ARGS),
         use_pallas=False,
     )
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
@@ -114,18 +122,19 @@ def main():
     key = jax.random.PRNGKey(1)
     batches = [make_batch(i) for i in range(8)]
 
-    # warmup / compile
+    # warmup / compile (float() forces a real device sync; block_until_ready
+    # does not synchronize through the axon tunnel)
     for i in range(3):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, sub, batches[i % 8])
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, sub, batches[i % 8])
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     rays_per_sec = num_rays * n_steps / dt

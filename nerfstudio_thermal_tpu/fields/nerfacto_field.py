@@ -54,21 +54,46 @@ class NerfactoField(nn.Module):
     num_channels: int = 3
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    field_encoding: str = "hash"
+    """'hash' = Instant-NGP grid (reference parity); 'freq' = frequency-encoded
+    deep MLP base — the TPU-native compute-dense option (hash gathers lower to
+    a ~serial XLA path on v5e; MXU matmuls are effectively free)."""
+    freq_num_frequencies: int = 10
+    freq_num_layers: int = 8
+    freq_hidden_dim: int = 256
 
     def setup(self):
         self.direction_encoding = SHEncoding(levels=4)
-        self.mlp_base = MLPWithHashEncoding(
-            num_levels=self.num_levels,
-            min_res=self.base_res,
-            max_res=self.max_res,
-            log2_hashmap_size=self.log2_hashmap_size,
-            features_per_level=self.features_per_level,
-            num_layers=self.num_layers,
-            layer_width=self.hidden_dim,
-            out_dim=1 + self.geo_feat_dim,
-            compute_dtype=self.compute_dtype,
-            use_pallas=self.use_pallas,
-        )
+        if self.field_encoding == "freq":
+            from nerfstudio_thermal_tpu.ops.encodings import NeRFEncoding
+
+            self.position_encoding = NeRFEncoding(
+                in_dim=3,
+                num_frequencies=self.freq_num_frequencies,
+                min_freq_exp=0.0,
+                max_freq_exp=self.freq_num_frequencies - 1,
+                include_input=True,
+            )
+            self.mlp_base_net = MLP(
+                num_layers=self.freq_num_layers,
+                layer_width=self.freq_hidden_dim,
+                out_dim=1 + self.geo_feat_dim,
+                skip_connections=(self.freq_num_layers // 2,),
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            self.mlp_base = MLPWithHashEncoding(
+                num_levels=self.num_levels,
+                min_res=self.base_res,
+                max_res=self.max_res,
+                log2_hashmap_size=self.log2_hashmap_size,
+                features_per_level=self.features_per_level,
+                num_layers=self.num_layers,
+                layer_width=self.hidden_dim,
+                out_dim=1 + self.geo_feat_dim,
+                compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas,
+            )
         if self.appearance_embedding_dim > 0:
             # Direct param (not a submodule) so the eval path can average the
             # table (reference nerfacto_field.py:295-305).
@@ -105,7 +130,14 @@ class NerfactoField(nn.Module):
         """positions [..., 3] world -> (density [..., 1] fp32, geo feats
         [..., geo_feat_dim])."""
         positions, selector = self._normalize_positions(positions)
-        h = self.mlp_base(positions.reshape(-1, 3)).reshape(*positions.shape[:-1], -1)
+        flat = positions.reshape(-1, 3)
+        if self.field_encoding == "freq":
+            h = self.mlp_base_net(
+                self.position_encoding(flat).astype(self.compute_dtype)
+            )
+        else:
+            h = self.mlp_base(flat)
+        h = h.reshape(*positions.shape[:-1], h.shape[-1])
         density_before, geo_feat = h[..., :1], h[..., 1:]
         density = self.average_init_density * trunc_exp(
             density_before.astype(jnp.float32)
@@ -180,7 +212,12 @@ class NerfactoField(nn.Module):
         # average_init_density scaling.
         selector = jnp.all((all_points > 0.0) & (all_points < 1.0), axis=-1)
         positions = all_points * selector[..., None]
-        h = self.mlp_base(positions)
+        if self.field_encoding == "freq":
+            h = self.mlp_base_net(
+                self.position_encoding(positions).astype(self.compute_dtype)
+            )
+        else:
+            h = self.mlp_base(positions)
         return trunc_exp(h[..., :1].astype(jnp.float32))
 
 

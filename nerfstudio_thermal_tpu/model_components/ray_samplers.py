@@ -29,30 +29,19 @@ from nerfstudio_thermal_tpu.cameras.rays import (
 def searchsorted_batched(a: jax.Array, v: jax.Array, side: str = "right") -> jax.Array:
     """searchsorted over the last axis with matching batch dims.
 
-    a: [..., M] sorted, v: [..., K] *sorted* -> int32 [..., K].
+    a: [..., M] sorted, v: [..., K] -> int32 [..., K].
 
-    TPU note: implemented as a batched merge via double argsort (one stable
-    sort of the concatenation + one argsort to invert), instead of a vmapped
-    binary search — the scan-based lowering of jnp.searchsorted is slow to
-    compile and serial at runtime. Requires v sorted along the last axis,
-    which holds for every call site (inverse-CDF samples, histogram edges,
-    cumulative weights).
+    TPU note: implemented as a comparison count — insertion index is simply
+    #\\{a <= v\\} (side=right) or #\\{a < v\\}. The [..., M, K] boolean intermediate
+    is small at ray-sampling sizes (M, K <= ~500) and runs at VPU speed; both
+    a vmapped binary search (serial scan lowering) and a sort-based merge
+    compile and run orders of magnitude slower on TPU.
     """
-    m = a.shape[-1]
-    k = v.shape[-1]
     if side == "right":
-        # stable sort with a's first among equals -> v lands after equal a's
-        av = jnp.concatenate([a, v], axis=-1)
+        cmp = a[..., :, None] <= v[..., None, :]
     else:
-        # v's first among equals -> insertion before equal a's
-        av = jnp.concatenate([v, a], axis=-1)
-    order = jnp.argsort(av, axis=-1, stable=True)
-    pos = jnp.argsort(order, axis=-1)  # position of each input element
-    if side == "right":
-        v_pos = pos[..., m:]
-    else:
-        v_pos = pos[..., :k]
-    return (v_pos - jnp.arange(k, dtype=v_pos.dtype)).astype(jnp.int32)
+        cmp = a[..., :, None] < v[..., None, :]
+    return jnp.sum(cmp, axis=-2, dtype=jnp.int32)
 
 
 def spaced_sample(

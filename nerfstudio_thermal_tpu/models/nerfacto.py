@@ -88,6 +88,10 @@ class NerfactoModelConfig(ModelConfig):
     )
     compute_dtype: str = "float32"  # "bfloat16" on TPU for the MLP/hash path
     use_pallas: bool = False
+    field_encoding: str = "hash"  # "hash" (reference parity) | "freq" (MXU-dense)
+    freq_num_frequencies: int = 10
+    freq_num_layers: int = 8
+    freq_hidden_dim: int = 256
 
 
 def proposal_anneal(step, max_iters: int, slope: float):
@@ -141,42 +145,59 @@ class NerfactoModel(Model):
             num_channels=3,
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
+            field_encoding=cfg.field_encoding,
+            freq_num_frequencies=cfg.freq_num_frequencies,
+            freq_num_layers=cfg.freq_num_layers,
+            freq_hidden_dim=cfg.freq_hidden_dim,
         )
 
         num_prop_nets = cfg.num_proposal_iterations
         self.proposal_networks: List[HashMLPDensityField] = []
         if cfg.use_same_proposal_network:
             assert len(cfg.proposal_net_args_list) == 1
-            args = cfg.proposal_net_args_list[0]
-            net = HashMLPDensityField(
-                aabb=aabb,
-                use_spatial_distortion=not cfg.disable_scene_contraction,
-                average_init_density=cfg.average_init_density,
-                compute_dtype=compute_dtype,
-                use_pallas=cfg.use_pallas,
-                **args,
-            )
+            net = self._build_proposal_net(cfg.proposal_net_args_list[0])
             self.proposal_networks = [net] * num_prop_nets
             self._unique_proposal_networks = [net]
         else:
             for i in range(num_prop_nets):
                 args = cfg.proposal_net_args_list[min(i, len(cfg.proposal_net_args_list) - 1)]
-                self.proposal_networks.append(
-                    HashMLPDensityField(
-                        aabb=aabb,
-                        use_spatial_distortion=not cfg.disable_scene_contraction,
-                        average_init_density=cfg.average_init_density,
-                        compute_dtype=compute_dtype,
-                        use_pallas=cfg.use_pallas,
-                        **args,
-                    )
-                )
+                self.proposal_networks.append(self._build_proposal_net(args))
             self._unique_proposal_networks = self.proposal_networks
 
         self.camera_optimizer = build_camera_optimizer(
             cfg.camera_optimizer, num_cameras=self.num_train_data
         )
         self.collider = NearFarCollider(cfg.near_plane, cfg.far_plane)
+
+    def _build_proposal_net(self, args: Dict):
+        """Proposal density field from a proposal_net_args_list entry; an
+        `{"encoding": "freq"}` entry selects the MXU-dense MLPDensityField."""
+        from nerfstudio_thermal_tpu.fields.density_fields import MLPDensityField
+
+        cfg = self.config
+        args = dict(args)
+        encoding = args.pop("encoding", "hash")
+        if encoding == "freq":
+            args.pop("log2_hashmap_size", None)
+            args.pop("num_levels", None)
+            args.pop("max_res", None)
+            args.pop("use_linear", None)
+            args.pop("features_per_level", None)
+            return MLPDensityField(
+                aabb=tuple(map(tuple, self.scene_aabb.tolist())),
+                use_spatial_distortion=not cfg.disable_scene_contraction,
+                average_init_density=cfg.average_init_density,
+                compute_dtype=self._compute_dtype,
+                **args,
+            )
+        return HashMLPDensityField(
+            aabb=tuple(map(tuple, self.scene_aabb.tolist())),
+            use_spatial_distortion=not cfg.disable_scene_contraction,
+            average_init_density=cfg.average_init_density,
+            compute_dtype=self._compute_dtype,
+            use_pallas=cfg.use_pallas,
+            **args,
+        )
 
     # ------------------------------------------------------------------
 

@@ -103,6 +103,10 @@ class ThermalNerfactoModel(NerfactoModel):
             num_channels=3 + (cfg.density_mode == "shared"),
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
+            field_encoding=cfg.field_encoding,
+            freq_num_frequencies=cfg.freq_num_frequencies,
+            freq_num_layers=cfg.freq_num_layers,
+            freq_hidden_dim=cfg.freq_hidden_dim,
         )
         if cfg.density_mode == "separate":
             self.field_thermal = ThermalNerfactoField(
@@ -121,21 +125,17 @@ class ThermalNerfactoModel(NerfactoModel):
                 num_channels=1,
                 compute_dtype=compute_dtype,
                 use_pallas=cfg.use_pallas,
+                field_encoding=cfg.field_encoding,
+                freq_num_frequencies=cfg.freq_num_frequencies,
+                freq_num_layers=cfg.freq_num_layers,
+                freq_hidden_dim=cfg.freq_hidden_dim,
             )
             self.proposal_networks_thermal: List[HashMLPDensityField] = []
             for i in range(cfg.num_proposal_iterations):
                 args = cfg.proposal_net_args_list[
                     min(i, len(cfg.proposal_net_args_list) - 1)
                 ]
-                self.proposal_networks_thermal.append(
-                    HashMLPDensityField(
-                        aabb=aabb,
-                        use_spatial_distortion=not cfg.disable_scene_contraction,
-                        compute_dtype=compute_dtype,
-                        use_pallas=cfg.use_pallas,
-                        **args,
-                    )
-                )
+                self.proposal_networks_thermal.append(self._build_proposal_net(args))
 
         # Camera optimizers: each modality frozen on the other's cameras
         # (reference :132-158).

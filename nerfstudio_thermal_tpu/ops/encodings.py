@@ -131,19 +131,23 @@ def _hash_encode_fwd_impl(table, positions, scalings, table_size, compute_dtype)
     level_offset = (jnp.arange(num_levels, dtype=jnp.int32) * table_size)[:, None]
     # 1-D table columns: gathers of [L, N] indices from a [L*T] vector keep N
     # in the lane dim — zero padding waste (vs [.., F=2]-wide gathers).
-    table_cols = [table[:, fc].astype(compute_dtype) for fc in range(features_per_level)]
+    # Gather in f32: sub-word (bf16) gathers hit a ~1000x slower scalar path
+    # on TPU; the cast to compute_dtype happens on the interpolated output.
+    table_cols = [
+        table[:, fc].astype(jnp.float32) for fc in range(features_per_level)
+    ]
 
     out_cols = [None] * features_per_level
     for corner in range(8):
         bits = _CORNER_BITS[corner]
         idx = _corner_index(dim_f, dim_c, bits, table_size, level_offset)  # [L, N]
-        w = _corner_weight(w_f, w_c, bits).astype(compute_dtype)  # [L, N]
+        w = _corner_weight(w_f, w_c, bits)  # [L, N] f32
         for fc in range(features_per_level):
             contrib = table_cols[fc][idx] * w
             out_cols[fc] = contrib if out_cols[fc] is None else out_cols[fc] + contrib
 
     out = jnp.stack(out_cols, axis=-1)  # [L, N, F]
-    out = jnp.swapaxes(out, 0, 1)  # [N, L, F]
+    out = jnp.swapaxes(out, 0, 1).astype(compute_dtype)  # [N, L, F]
     return out.reshape(*batch_shape, num_levels * features_per_level)
 
 
