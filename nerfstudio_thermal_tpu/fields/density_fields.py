@@ -86,6 +86,7 @@ class MLPDensityField(nn.Module):
     average_init_density: float = 1.0
     use_spatial_distortion: bool = True
     compute_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
@@ -117,6 +118,7 @@ class MLPDensityField(nn.Module):
             layer_width=self.hidden_dim,
             out_dim=1,
             compute_dtype=self.compute_dtype,
+            fused=getattr(self, "use_pallas", False),
             name="mlp",
         )(encoded)
         density_before = h.reshape(*positions.shape[:-1], 1).astype(jnp.float32)

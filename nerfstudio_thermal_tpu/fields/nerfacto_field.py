@@ -80,6 +80,7 @@ class NerfactoField(nn.Module):
                 out_dim=1 + self.geo_feat_dim,
                 skip_connections=(self.freq_num_layers // 2,),
                 compute_dtype=self.compute_dtype,
+                fused=self.use_pallas,
             )
         else:
             self.mlp_base = MLPWithHashEncoding(
@@ -108,6 +109,7 @@ class NerfactoField(nn.Module):
             out_dim=self.num_channels,
             out_activation=nn.sigmoid,
             compute_dtype=self.compute_dtype,
+            fused=self.use_pallas,
         )
 
     def _normalize_positions(self, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:

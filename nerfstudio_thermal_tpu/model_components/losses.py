@@ -49,16 +49,18 @@ def ray_samples_to_sdist(ray_samples: RaySamples) -> jax.Array:
 
 
 def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
-    """Sum of y1 histogram mass within each (t0) interval (reference :57-86)."""
+    """Sum of y1 histogram mass within each (t0) interval (reference :57-86).
+
+    Gather-free: cy1 is a non-decreasing cumulative histogram aligned with
+    the sorted t1 edges, so the indexed lookups reduce to masked max/min
+    (see ray_samplers.take_below_above)."""
+    from nerfstudio_thermal_tpu.model_components.ray_samplers import take_below_above
+
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
-    idx_lo = searchsorted_batched(t1_starts, t0_starts, side="right") - 1
-    idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = searchsorted_batched(t1_ends, t0_ends, side="right")
-    idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    cy1_lo, _ = take_below_above(t1_starts, t0_starts, cy1[..., :-1])
+    _, cy1_hi = take_below_above(t1_ends, t0_ends, cy1[..., 1:])
     return cy1_hi - cy1_lo
 
 

@@ -44,6 +44,36 @@ def searchsorted_batched(a: jax.Array, v: jax.Array, side: str = "right") -> jax
     return jnp.sum(cmp, axis=-2, dtype=jnp.int32)
 
 
+def take_below_above(
+    a: jax.Array,  # [..., M] sorted ascending
+    v: jax.Array,  # [..., K] queries
+    values: jax.Array,  # [..., M] monotone non-decreasing, aligned with a
+    side: str = "right",
+):
+    """values[clip(searchsorted(a, v, side) - 1)] and values[clip(searchsorted)]
+    without any gather.
+
+    TPU note: take_along_axis lowers to a ~serial row-gather (measured
+    ~55 M elem/s — it dominated the train step). Because every gathered array
+    at our call sites (CDFs, bin edges, cumulative histograms, depth steps)
+    is monotone and index-aligned with the sorted search array, the gather is
+    equivalent to a masked max (below) / masked min (above) reduction, which
+    XLA fuses into a single VPU pass over [..., M, K] with nothing
+    materialized. Empty masks resolve to the first/last element, matching the
+    reference's index clipping (ray_samplers.py:338-345, losses.py:78-84).
+    """
+    if side == "right":
+        mask = a[..., :, None] <= v[..., None, :]
+    else:
+        mask = a[..., :, None] < v[..., None, :]
+    vexp = values[..., :, None]
+    below = jnp.max(jnp.where(mask, vexp, -jnp.inf), axis=-2)
+    above = jnp.min(jnp.where(mask, jnp.inf, vexp), axis=-2)
+    below = jnp.where(jnp.isinf(below), values[..., :1], below)
+    above = jnp.where(jnp.isinf(above), values[..., -1:], above)
+    return below, above
+
+
 def spaced_sample(
     ray_bundle: RayBundle,
     num_samples: int,
@@ -135,13 +165,9 @@ def pdf_sample(
         axis=-1,
     )  # [R, S+1]
 
-    inds = searchsorted_batched(cdf, u, side="right")
-    below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
-    above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+    # gather-free inverse-CDF lookups (see take_below_above)
+    cdf_g0, cdf_g1 = take_below_above(cdf, u, cdf)
+    bins_g0, bins_g1 = take_below_above(cdf, u, existing_bins)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0), nan=0.0), 0, 1)
     bins = bins_g0 + t * (bins_g1 - bins_g0)

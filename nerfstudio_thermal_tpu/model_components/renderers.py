@@ -76,13 +76,15 @@ def render_accumulation(weights: jax.Array) -> jax.Array:
 
 def render_depth_median(weights: jax.Array, ray_samples: RaySamples) -> jax.Array:
     """Median depth: distance where cumulative weight crosses 0.5
-    (reference renderers.py:544-553)."""
+    (reference renderers.py:544-553). steps are sorted along the ray, so the
+    index lookup is a gather-free masked min (take_below_above)."""
+    from nerfstudio_thermal_tpu.model_components.ray_samplers import take_below_above
+
     steps = (ray_samples.starts + ray_samples.ends) / 2.0  # [..., S, 1]
     cumulative = jnp.cumsum(weights[..., 0], axis=-1)  # [..., S]
     split = jnp.full((*weights.shape[:-2], 1), 0.5)
-    median_index = searchsorted_batched(cumulative, split, side="left")
-    median_index = jnp.clip(median_index, 0, steps.shape[-2] - 1)
-    return jnp.take_along_axis(steps[..., 0], median_index, axis=-1)
+    _, median_depth = take_below_above(cumulative, split, steps[..., 0], side="left")
+    return median_depth
 
 
 def render_depth_expected(weights: jax.Array, ray_samples: RaySamples) -> jax.Array:

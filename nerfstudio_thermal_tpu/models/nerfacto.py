@@ -188,6 +188,7 @@ class NerfactoModel(Model):
                 use_spatial_distortion=not cfg.disable_scene_contraction,
                 average_init_density=cfg.average_init_density,
                 compute_dtype=self._compute_dtype,
+                use_pallas=cfg.use_pallas,
                 **args,
             )
         return HashMLPDensityField(

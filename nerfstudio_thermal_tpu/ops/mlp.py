@@ -32,12 +32,59 @@ class MLP(nn.Module):
     activation: Optional[Callable] = nn.relu
     out_activation: Optional[Callable] = None
     compute_dtype: jnp.dtype = jnp.float32
+    fused: bool = False
+    """Run the whole stack as one Pallas kernel (ops/pallas/fused_mlp.py) —
+    activations never touch HBM. Requires relu hidden activation and
+    None/sigmoid output activation; interprets on CPU automatically."""
+    fused_block_size: int = 2048
+
+    def _fusable(self) -> bool:
+        relu_ok = self.activation in (nn.relu, jax.nn.relu)
+        out_ok = self.out_activation in (None, nn.sigmoid, jax.nn.sigmoid)
+        return self.fused and relu_ok and out_ok
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         in_tensor = x = x.astype(self.compute_dtype)
         skips = set(self.skip_connections)
         num_linears = 1 if self.num_layers == 1 else self.num_layers
+
+        if self._fusable():
+            from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_mlp
+
+            in_dim = x.shape[-1]
+            weights, biases = [], []
+            prev = in_dim
+            for i in range(num_linears):
+                is_last = i == num_linears - 1
+                width = self.out_dim if is_last else self.layer_width
+                din = prev + (in_dim if (i in skips and i != 0) else 0)
+                weights.append(
+                    self.param(
+                        f"Dense_{i}_kernel",
+                        nn.initializers.lecun_normal(),
+                        (din, width),
+                        jnp.float32,
+                    )
+                )
+                biases.append(
+                    self.param(
+                        f"Dense_{i}_bias", nn.initializers.zeros, (width,), jnp.float32
+                    )
+                )
+                prev = width
+            out_act = "sigmoid" if self.out_activation is not None else None
+            return fused_mlp(
+                x.reshape(-1, in_dim),
+                tuple(weights),
+                tuple(biases),
+                "relu",
+                out_act,
+                self.fused_block_size,
+                jax.default_backend() == "cpu",
+                tuple(sorted(skips)),
+            ).reshape(*x.shape[:-1], self.out_dim)
+
         for i in range(num_linears):
             is_last = i == num_linears - 1
             width = self.out_dim if is_last else self.layer_width

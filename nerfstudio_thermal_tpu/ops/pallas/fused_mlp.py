@@ -1,0 +1,281 @@
+"""Fully-fused MLP Pallas kernel — the TPU equivalent of tiny-cuda-nn's
+FullyFusedMLP (reference field_components/mlp.py:102-115).
+
+Why: XLA materializes every layer's activations to HBM; at NeRF batch sizes
+(~400k points x 256 wide) a single layer moves ~600 MB, making the field MLPs
+bandwidth-bound (~1.1 ms/layer measured on v5e). This kernel runs the whole
+stack per point-block inside VMEM: HBM traffic collapses to inputs + outputs
++ weights.
+
+Forward: grid over point blocks; weights/biases live in VMEM across the whole
+grid (constant index maps), activations ping-pong in registers/VMEM.
+Backward (custom VJP): recomputes the block's activations in VMEM (storing
+only the layer inputs per block), then accumulates dW/db across grid steps in
+VMEM-resident output blocks (sequential TPU grid makes += safe), and emits dx.
+
+All matmuls run on the MXU in the requested compute dtype with fp32
+accumulation (preferred_element_type).
+"""
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _apply_act(h, name: Optional[str]):
+    if name is None:
+        return h
+    if name == "relu":
+        return jnp.maximum(h, 0.0)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(h)
+    raise ValueError(f"unsupported activation {name}")
+
+
+def _fwd_kernel(num_layers, activation, out_activation, skips, refs):
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + num_layers]
+    b_refs = refs[1 + num_layers : 1 + 2 * num_layers]
+    out_ref = refs[1 + 2 * num_layers]
+
+    x0 = x_ref[:]
+    h = x0
+    for li in range(num_layers):
+        if li in skips and li != 0:
+            h = jnp.concatenate([x0, h], axis=-1)
+        h = (
+            jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
+            + b_refs[li][:].astype(jnp.float32)
+        )
+        if li < num_layers - 1:
+            h = _apply_act(h, activation)
+        else:
+            h = _apply_act(h, out_activation)
+        h = h.astype(x_ref.dtype)
+    out_ref[:] = h
+
+
+def _bwd_kernel(num_layers, activation, out_activation, skips, refs):
+    # refs = inputs (x, g, w0..wn, b0..bn) then outputs (dx, dw0..n, db0..n)
+    n = num_layers
+    x_ref = refs[0]
+    g_ref = refs[1]
+    w_refs = refs[2 : 2 + n]
+    b_refs = refs[2 + n : 2 + 2 * n]
+    dx_ref = refs[2 + 2 * n]
+    dw_refs = refs[3 + 2 * n : 3 + 3 * n]
+    db_refs = refs[3 + 3 * n : 3 + 4 * n]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for li in range(num_layers):
+            dw_refs[li][:] = jnp.zeros_like(dw_refs[li])
+            db_refs[li][:] = jnp.zeros_like(db_refs[li])
+
+    # Recompute forward, storing only bf16 post-activations (the relu mask is
+    # recoverable as h > 0; keeping f32 pre-activations would overflow VMEM).
+    x0 = x_ref[:]
+    in_dim = x0.shape[-1]
+    h = x0
+    post_acts = []  # activated output of each layer, compute dtype
+    final_pre = None
+    for li in range(num_layers):
+        if li in skips and li != 0:
+            h = jnp.concatenate([x0, h], axis=-1)
+        pre = (
+            jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
+            + b_refs[li][:].astype(jnp.float32)
+        )
+        if li < num_layers - 1:
+            h = _apply_act(pre, activation).astype(x_ref.dtype)
+        else:
+            final_pre = pre
+            h = _apply_act(pre, out_activation).astype(x_ref.dtype)
+        post_acts.append(h)
+
+    def layer_input(li):
+        h_prev = x0 if li == 0 else post_acts[li - 1]
+        if li in skips and li != 0:
+            return jnp.concatenate([x0, h_prev], axis=-1)
+        return h_prev
+
+    # backward
+    dx_accum = jnp.zeros_like(x0, dtype=jnp.float32)
+    dh = g_ref[:].astype(jnp.float32)
+    if out_activation == "sigmoid":
+        y = jax.nn.sigmoid(final_pre)
+        dh = dh * y * (1.0 - y)
+    for li in reversed(range(num_layers)):
+        if li < num_layers - 1 and activation == "relu":
+            # f32 compare: sub-word comparisons are unsupported by Mosaic
+            dh = dh * (post_acts[li].astype(jnp.float32) > 0.0)
+        x_in = layer_input(li).astype(x_ref.dtype)
+        dhc = dh.astype(x_ref.dtype)
+        dw_refs[li][:] += jnp.dot(
+            x_in.T, dhc, preferred_element_type=jnp.float32
+        )
+        db_refs[li][:] += jnp.sum(dh, axis=0, keepdims=True)
+        dh = jnp.dot(dhc, w_refs[li][:].T, preferred_element_type=jnp.float32)
+        if li in skips and li != 0:
+            # layer input was concat([x0, h_prev]); split the gradient
+            dx_accum = dx_accum + dh[:, :in_dim]
+            dh = dh[:, in_dim:]
+        if li == 0:
+            dx_accum = dx_accum + dh
+    dx_ref[:] = dx_accum.astype(dx_ref.dtype)
+
+
+def _pad_batch(x, blk):
+    n = x.shape[0]
+    pad = (-n) % blk
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
+    return x, n
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def fused_mlp(
+    x: jax.Array,  # [N, in_dim]
+    weights: Tuple[jax.Array, ...],  # per layer [din, dout]
+    biases: Tuple[jax.Array, ...],  # per layer [dout]
+    activation: str = "relu",
+    out_activation: Optional[str] = None,
+    block_size: int = 2048,
+    interpret: bool = False,
+    skip_connections: Tuple[int, ...] = (),
+) -> jax.Array:
+    """Run the whole MLP stack in one Pallas kernel. Returns [N, out_dim].
+
+    skip_connections: layer indices whose input is concat([x, h]) (classic
+    NeRF skip), matching ops.mlp.MLP semantics."""
+    return _fused_mlp_fwd_impl(
+        x, weights, biases, activation, out_activation, block_size, interpret,
+        skip_connections,
+    )
+
+
+def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_size, interpret, skips=()):
+    num_layers = len(weights)
+    out_dim = weights[-1].shape[-1]
+    dtype = x.dtype
+    xp, n = _pad_batch(x, block_size)
+    npad = xp.shape[0]
+
+    w_cast = [w.astype(dtype) for w in weights]
+    b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
+
+    kernel = functools.partial(
+        lambda *refs: _fwd_kernel(num_layers, activation, out_activation, tuple(skips), refs)
+    )
+    in_specs = [
+        pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for w in w_cast:
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for b in b_cast:
+        in_specs.append(
+            pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // block_size,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (block_size, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((npad, out_dim), dtype),
+        interpret=interpret,
+    )(xp, *w_cast, *b_cast)
+    return out[:n]
+
+
+def _fused_mlp_fwd(x, weights, biases, activation, out_activation, block_size, interpret, skip_connections=()):
+    out = _fused_mlp_fwd_impl(
+        x, weights, biases, activation, out_activation, block_size, interpret,
+        skip_connections,
+    )
+    return out, (x, weights, biases)
+
+
+def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_connections, res, g):
+    x, weights, biases = res
+    num_layers = len(weights)
+    dtype = x.dtype
+    # The bwd kernel holds per-layer activations in VMEM; shrink the block so
+    # num_layers * block * width activations stay well under the 16 MB limit.
+    width = max(w.shape[-1] for w in weights)
+    act_bytes = 2 if dtype == jnp.bfloat16 else 4
+    # activations get ~1/4 of VMEM: weights + f32 dh/dw/dx + in/out blocks
+    # share the rest
+    budget = 4 * 1024 * 1024
+    block_size = min(
+        block_size,
+        max(256, budget // max(num_layers * width * act_bytes, 1) // 256 * 256),
+    )
+    xp, n = _pad_batch(x, block_size)
+    gp, _ = _pad_batch(g.astype(dtype), block_size)
+    npad = xp.shape[0]
+
+    w_cast = [w.astype(dtype) for w in weights]
+    b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
+
+    kernel = functools.partial(
+        lambda *refs: _bwd_kernel(num_layers, activation, out_activation, tuple(skip_connections), refs)
+    )
+    in_specs = [
+        pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_size, gp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in w_cast:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in b_cast:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+
+    out_shapes = [jax.ShapeDtypeStruct((npad, xp.shape[1]), dtype)]
+    out_specs = [
+        pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ]
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[-1]), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, b.shape[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(npad // block_size,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(xp, gp, *w_cast, *b_cast)
+
+    dx = outs[0][:n].astype(x.dtype)
+    dws = tuple(
+        dw.astype(w.dtype) for dw, w in zip(outs[1 : 1 + num_layers], weights)
+    )
+    dbs = tuple(
+        db.reshape(b.shape).astype(b.dtype)
+        for db, b in zip(outs[1 + num_layers :], biases)
+    )
+    return dx, dws, dbs
+
+
+fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
