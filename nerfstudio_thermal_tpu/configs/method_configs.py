@@ -162,10 +162,38 @@ def register_method(config: MethodConfig):
     descriptions[config.method_name] = config.description
 
 
+def make_vanilla_nerf() -> MethodConfig:
+    """(reference method_configs.py vanilla-nerf entry)."""
+    from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (
+        BlenderDataParserConfig,
+    )
+    from nerfstudio_thermal_tpu.models.vanilla_nerf import VanillaModelConfig
+
+    return MethodConfig(
+        method_name="vanilla-nerf",
+        description="Original NeRF (coarse/fine frequency-encoded fields).",
+        trainer=TrainerConfig(max_num_iterations=300000, method_name="vanilla-nerf"),
+        dataparser=BlenderDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096
+        ),
+        model=VanillaModelConfig(eval_num_rays_per_chunk=1 << 14, compute_dtype="bfloat16"),
+        optimizers={
+            "fields": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=5e-4, eps=1e-8),
+                scheduler=ExponentialDecaySchedulerConfig(
+                    lr_final=5e-5, max_steps=300000
+                ),
+            ),
+        },
+    )
+
+
 register_method(make_nerfacto())
 register_method(make_thermal_nerfacto())
 register_method(_tpu_variant(make_nerfacto(), "nerfacto-tpu"))
 register_method(_tpu_variant(make_thermal_nerfacto(), "thermal-nerfacto-tpu"))
+register_method(make_vanilla_nerf())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -182,8 +210,13 @@ def get_method_config(name: str) -> MethodConfig:
 def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trainer:
     """Wire dataparser -> datamanager -> model -> pipeline -> trainer
     (the reference's InstantiateConfig.setup() chain, configs/base_config.py:47-56)."""
+    from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (
+        Blender,
+        BlenderDataParserConfig,
+    )
     from nerfstudio_thermal_tpu.models.nerfacto import NerfactoModel
     from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
+    from nerfstudio_thermal_tpu.models.vanilla_nerf import NeRFModel, VanillaModelConfig
     from nerfstudio_thermal_tpu.pipelines.base_pipeline import VanillaPipeline
 
     if config.data is not None:
@@ -191,6 +224,8 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
 
     if isinstance(config.dataparser, ThermalNerfDataParserConfig):
         dataparser = ThermalNerf(config.dataparser)
+    elif isinstance(config.dataparser, BlenderDataParserConfig):
+        dataparser = Blender(config.dataparser)
     else:
         dataparser = Nerfstudio(config.dataparser)
 
@@ -202,11 +237,12 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     if "is_thermal" not in metadata:
         metadata["is_thermal"] = list(datamanager.train_dataset.is_thermal)
 
-    model_cls = (
-        ThermalNerfactoModel
-        if isinstance(config.model, ThermalNerfactoModelConfig)
-        else NerfactoModel
-    )
+    if isinstance(config.model, ThermalNerfactoModelConfig):
+        model_cls = ThermalNerfactoModel
+    elif isinstance(config.model, VanillaModelConfig):
+        model_cls = NeRFModel
+    else:
+        model_cls = NerfactoModel
     model = model_cls(
         config.model,
         scene_aabb=datamanager.train_dataparser_outputs.scene_box,

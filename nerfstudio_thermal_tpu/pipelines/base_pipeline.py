@@ -43,10 +43,14 @@ class VanillaPipeline:
         metrics: Dict[str, float] = {}
         images: Dict[str, np.ndarray] = {}
 
+        from nerfstudio_thermal_tpu.utils.lpips import lpips, lpips_available
+
         pred_rgb = outputs["rgb"]
         if is_thermal < 1:
             metrics["psnr_rgb"] = float(psnr_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
             metrics["ssim_rgb"] = float(ssim_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
+            if lpips_available():
+                metrics["lpips_rgb"] = lpips(jnp.asarray(pred_rgb), jnp.asarray(gt))
             images["img"] = np.concatenate([gt, pred_rgb], axis=1)
         elif "rgb_thermal" in outputs:
             gt_t = gt[..., :1]
@@ -57,6 +61,12 @@ class VanillaPipeline:
             metrics["ssim_thermal"] = float(
                 ssim_fn(jnp.asarray(pred_t), jnp.asarray(gt_t))
             )
+            if lpips_available():
+                # LPIPS needs 3 channels; replicate (reference :548-549)
+                metrics["lpips_thermal"] = lpips(
+                    jnp.repeat(jnp.asarray(pred_t), 3, -1),
+                    jnp.repeat(jnp.asarray(gt_t), 3, -1),
+                )
             images["img"] = np.concatenate(
                 [np.repeat(gt_t, 3, -1), np.repeat(pred_t, 3, -1)], axis=1
             )

@@ -1,0 +1,97 @@
+"""LPIPS perceptual metric in JAX (VGG16 backbone).
+
+Behavioral spec: reference uses torchmetrics LPIPS with normalize=True
+(reference nerfacto.py:253, thermal_nerfacto.py:537-552). This is the same
+computation: VGG16 features at relu1_2/2_2/3_3/4_3/5_3, unit-normalized per
+channel, squared differences reduced by learned linear weights, averaged over
+space and layers.
+
+Pretrained weights cannot be downloaded in a zero-egress environment; provide
+them as an .npz via $NS_LPIPS_WEIGHTS (keys: conv{i}_kernel/conv{i}_bias for
+the 13 VGG convs in order, lin{k}_weight for the 5 LPIPS heads). When absent,
+`lpips_available()` is False and eval simply omits lpips metrics (psnr/ssim
+are always reported).
+"""
+
+import os
+from functools import lru_cache
+from pathlib import Path
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# VGG16 conv plan: (out_channels, followed_by_pool)
+_VGG16_PLAN = [
+    (64, False), (64, True),
+    (128, False), (128, True),
+    (256, False), (256, False), (256, True),
+    (512, False), (512, False), (512, True),
+    (512, False), (512, False), (512, True),
+]
+# indices (into conv list) whose post-relu activations feed LPIPS
+_FEATURE_LAYERS = [1, 3, 6, 9, 12]
+
+_IMAGENET_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)  # lpips 'shift'
+_IMAGENET_SCALE = np.array([0.458, 0.448, 0.450], np.float32)  # lpips 'scale'
+
+
+def lpips_available() -> bool:
+    p = os.environ.get("NS_LPIPS_WEIGHTS")
+    return bool(p) and Path(p).exists()
+
+
+@lru_cache(maxsize=1)
+def _load_weights():
+    path = Path(os.environ["NS_LPIPS_WEIGHTS"])
+    data = np.load(path)
+    convs = []
+    for i in range(13):
+        convs.append(
+            (jnp.asarray(data[f"conv{i}_kernel"]), jnp.asarray(data[f"conv{i}_bias"]))
+        )
+    lins = [jnp.asarray(data[f"lin{k}_weight"]) for k in range(5)]
+    return convs, lins
+
+
+def _vgg_features(x: jax.Array, convs) -> List[jax.Array]:
+    """x: [N, H, W, 3] in [-1, 1] (lpips-normalized). Returns feature maps."""
+    h = (x - _IMAGENET_MEAN) / _IMAGENET_SCALE
+    feats = []
+    ci = 0
+    for out_ch, pool in _VGG16_PLAN:
+        k, b = convs[ci]
+        h = jax.lax.conv_general_dilated(
+            h, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        h = jax.nn.relu(h)
+        if ci in _FEATURE_LAYERS:
+            feats.append(h)
+        if pool:
+            h = jax.lax.reduce_window(
+                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+        ci += 1
+    return feats
+
+
+def lpips(pred: jax.Array, target: jax.Array) -> Optional[float]:
+    """pred/target: [H, W, 3] in [0, 1] (normalize=True semantics). None when
+    weights are unavailable."""
+    if not lpips_available():
+        return None
+    convs, lins = _load_weights()
+    # normalize=True: map [0,1] -> [-1,1]
+    p = (pred[None] * 2.0 - 1.0).astype(jnp.float32)
+    t = (target[None] * 2.0 - 1.0).astype(jnp.float32)
+    fp = _vgg_features(p, convs)
+    ft = _vgg_features(t, convs)
+    total = 0.0
+    for k, (a, b) in enumerate(zip(fp, ft)):
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+        d = (a - b) ** 2
+        w = lins[k].reshape(1, 1, 1, -1)
+        total = total + jnp.mean(jnp.sum(d * w, axis=-1))
+    return float(total)

@@ -29,11 +29,16 @@ class Writer:
         log_dir: Optional[Path] = None,
         steps_per_log: int = 10,
         use_tensorboard: bool = False,
+        use_wandb: bool = False,
+        use_comet: bool = False,
+        experiment_name: str = "experiment",
     ):
         self.log_dir = Path(log_dir) if log_dir else None
         self.steps_per_log = steps_per_log
         self._jsonl = None
         self._tb = None
+        self._wandb = None
+        self._comet = None
         if self.log_dir is not None:
             self.log_dir.mkdir(parents=True, exist_ok=True)
             self._jsonl = open(self.log_dir / "events.jsonl", "a")
@@ -44,6 +49,25 @@ class Writer:
                     self._tb = SummaryWriter(log_dir=str(self.log_dir))
                 except Exception:
                     self._tb = None
+        # W&B / Comet backends (reference utils/writer.py:305-380), gated on
+        # package availability.
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project="nerfstudio-thermal-tpu", name=experiment_name,
+                    dir=str(self.log_dir) if self.log_dir else None,
+                )
+            except Exception as e:
+                print(f"wandb unavailable ({e}); skipping")
+        if use_comet:
+            try:
+                import comet_ml
+
+                self._comet = comet_ml.Experiment(project_name="nerfstudio-thermal-tpu")
+            except Exception as e:
+                print(f"comet unavailable ({e}); skipping")
 
     def write_scalar_dict(self, scalars: Dict[str, float], step: int, group: str = ""):
         record = {"step": step, "time": time.time()}
@@ -52,6 +76,12 @@ class Writer:
             record[f"{prefix}{k}"] = float(v)
             if self._tb is not None:
                 self._tb.add_scalar(f"{prefix}{k}", float(v), step)
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in record.items() if k != "time"}, step=step)
+        if self._comet is not None:
+            self._comet.log_metrics(
+                {k: v for k, v in record.items() if k not in ("time", "step")}, step=step
+            )
         if self._jsonl is not None:
             self._jsonl.write(json.dumps(record) + "\n")
             self._jsonl.flush()

@@ -1,0 +1,42 @@
+"""LPIPS gating + computation with synthetic weights."""
+
+import numpy as np
+import pytest
+
+
+def make_weights(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    plan = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128), (256, 256),
+            (256, 256), (512, 256), (512, 512), (512, 512), (512, 512),
+            (512, 512), (512, 512)]
+    arrs = {}
+    for i, (out_c, in_c) in enumerate(plan):
+        arrs[f"conv{i}_kernel"] = rng.normal(size=(3, 3, in_c, out_c)).astype(np.float32) * 0.05
+        arrs[f"conv{i}_bias"] = np.zeros((out_c,), np.float32)
+    for k, ch in enumerate([64, 128, 256, 512, 512]):
+        arrs[f"lin{k}_weight"] = np.abs(rng.normal(size=(ch,))).astype(np.float32) * 0.01
+    path = tmp_path / "lpips.npz"
+    np.savez(path, **arrs)
+    monkeypatch.setenv("NS_LPIPS_WEIGHTS", str(path))
+    import nerfstudio_thermal_tpu.utils.lpips as L
+    L._load_weights.cache_clear()
+    return path
+
+
+def test_lpips_unavailable_without_weights(monkeypatch):
+    monkeypatch.delenv("NS_LPIPS_WEIGHTS", raising=False)
+    from nerfstudio_thermal_tpu.utils.lpips import lpips, lpips_available
+    assert not lpips_available()
+    assert lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
+
+
+def test_lpips_zero_for_identical_and_positive_for_different(tmp_path, monkeypatch):
+    make_weights(tmp_path, monkeypatch)
+    from nerfstudio_thermal_tpu.utils.lpips import lpips, lpips_available
+    assert lpips_available()
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(32, 32, 3)).astype(np.float32)
+    same = lpips(img, img.copy())
+    assert same == pytest.approx(0.0, abs=1e-6)
+    other = lpips(img, rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    assert other > 1e-6
