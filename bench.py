@@ -52,7 +52,7 @@ def main():
         compute_dtype="bfloat16",
         field_encoding="freq",
         proposal_net_args_list=list(_FREQ_PROPOSAL_ARGS),
-        use_pallas=False,
+        use_pallas=True,
     )
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     is_thermal = [i % 2 for i in range(num_cameras)]

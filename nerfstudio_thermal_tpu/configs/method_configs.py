@@ -146,10 +146,10 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     cfg.model.field_encoding = "freq"
     cfg.model.proposal_net_args_list = copy.deepcopy(_FREQ_PROPOSAL_ARGS)
     cfg.model.compute_dtype = "bfloat16"
-    # Fused-MLP Pallas kernels (ops/pallas/fused_mlp.py) are available via
-    # use_pallas=True but currently measure slower than XLA's pipelined
-    # matmuls at these shapes; off by default pending block-size tuning.
-    cfg.model.use_pallas = False
+    # Fused-MLP Pallas kernels (ops/pallas/fused_mlp.py) for the deep base
+    # MLPs; small MLPs stay on XLA (MLP._fusable heuristic) — measured
+    # 63k -> 71k rays/s.
+    cfg.model.use_pallas = True
     return cfg
 
 

@@ -36,12 +36,16 @@ class MLP(nn.Module):
     """Run the whole stack as one Pallas kernel (ops/pallas/fused_mlp.py) —
     activations never touch HBM. Requires relu hidden activation and
     None/sigmoid output activation; interprets on CPU automatically."""
-    fused_block_size: int = 2048
+    fused_block_size: int = 4096
 
     def _fusable(self) -> bool:
         relu_ok = self.activation in (nn.relu, jax.nn.relu)
         out_ok = self.out_activation in (None, nn.sigmoid, jax.nn.sigmoid)
-        return self.fused and relu_ok and out_ok
+        # Fusing only pays off for deep/wide stacks: for small MLPs the
+        # per-grid-step overhead exceeds the saved activation traffic and
+        # XLA's batched matmuls win (measured on v5e).
+        big_enough = self.layer_width >= 128 and self.num_layers >= 4
+        return self.fused and relu_ok and out_ok and big_enough
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
