@@ -122,6 +122,21 @@ class RaySamples:
         mids = (self.starts + self.ends) / 2.0  # [..., S, 1]
         return self.origins[..., None, :] + self.directions[..., None, :] * mids
 
+    def get_gaussian_blob(self):
+        """Conical-frustum gaussian approximation (means, cov_diag) for
+        integrated positional encodings (reference rays.py:72-88; cone radius
+        chosen so the square pixel area matches the cone area)."""
+        from nerfstudio_thermal_tpu.utils.math import conical_frustum_to_gaussian_diag
+
+        cone_radius = jnp.sqrt(self.pixel_area) / 1.7724538509055159
+        return conical_frustum_to_gaussian_diag(
+            origins=self.origins[..., None, :],
+            directions=self.directions[..., None, :],
+            starts=self.starts,
+            ends=self.ends,
+            radius=cone_radius[..., None, :],
+        )
+
     def spacing_to_euclidean(self, s: jax.Array) -> jax.Array:
         """Map normalized spacing in [0,1] to euclidean distance."""
         return spacing_fn_inv(

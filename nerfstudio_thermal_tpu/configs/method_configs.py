@@ -189,11 +189,71 @@ def make_vanilla_nerf() -> MethodConfig:
     )
 
 
+def make_mipnerf() -> MethodConfig:
+    """(reference method_configs.py mipnerf entry)."""
+    from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (
+        BlenderDataParserConfig,
+    )
+    from nerfstudio_thermal_tpu.models.mipnerf import MipNerfModelConfig
+
+    return MethodConfig(
+        method_name="mipnerf",
+        description="MipNeRF: integrated positional encodings over cone frustums.",
+        trainer=TrainerConfig(max_num_iterations=1000000, method_name="mipnerf"),
+        dataparser=BlenderDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=1024, eval_num_rays_per_batch=1024
+        ),
+        model=MipNerfModelConfig(
+            eval_num_rays_per_chunk=1 << 14, compute_dtype="bfloat16"
+        ),
+        optimizers={
+            "fields": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=5e-4, eps=1e-8),
+                scheduler=ExponentialDecaySchedulerConfig(
+                    lr_final=5e-6, max_steps=1000000
+                ),
+            ),
+        },
+    )
+
+
 register_method(make_nerfacto())
 register_method(make_thermal_nerfacto())
 register_method(_tpu_variant(make_nerfacto(), "nerfacto-tpu"))
 register_method(_tpu_variant(make_thermal_nerfacto(), "thermal-nerfacto-tpu"))
+def make_instant_ngp() -> MethodConfig:
+    """(reference method_configs.py instant-ngp entry :313-350)."""
+    from nerfstudio_thermal_tpu.models.instant_ngp import InstantNGPModelConfig
+
+    return MethodConfig(
+        method_name="instant-ngp",
+        description="Instant-NGP: hash field with occupancy-grid skipping.",
+        trainer=TrainerConfig(
+            max_num_iterations=30000, steps_per_eval_batch=500,
+            steps_per_save=2000, mixed_precision=True, method_name="instant-ngp",
+        ),
+        dataparser=NerfstudioDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096
+        ),
+        model=InstantNGPModelConfig(
+            eval_num_rays_per_chunk=8192, compute_dtype="bfloat16"
+        ),
+        optimizers={
+            "fields": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+                scheduler=ExponentialDecaySchedulerConfig(
+                    lr_final=1e-4, max_steps=200000
+                ),
+            ),
+        },
+    )
+
+
 register_method(make_vanilla_nerf())
+register_method(make_mipnerf())
+register_method(make_instant_ngp())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -237,8 +297,18 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     if "is_thermal" not in metadata:
         metadata["is_thermal"] = list(datamanager.train_dataset.is_thermal)
 
-    if isinstance(config.model, ThermalNerfactoModelConfig):
+    from nerfstudio_thermal_tpu.models.mipnerf import MipNerfModel, MipNerfModelConfig
+    from nerfstudio_thermal_tpu.models.instant_ngp import (
+        InstantNGPModel,
+        InstantNGPModelConfig,
+    )
+
+    if isinstance(config.model, InstantNGPModelConfig):
+        model_cls = InstantNGPModel
+    elif isinstance(config.model, ThermalNerfactoModelConfig):
         model_cls = ThermalNerfactoModel
+    elif isinstance(config.model, MipNerfModelConfig):
+        model_cls = MipNerfModel
     elif isinstance(config.model, VanillaModelConfig):
         model_cls = NeRFModel
     else:

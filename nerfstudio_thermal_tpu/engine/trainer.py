@@ -43,6 +43,7 @@ class TrainState:
     steps_since_update: jax.Array  # proposal update counter (rgb)
     steps_since_update_thermal: jax.Array
     rng: jax.Array
+    extra: Any = None  # model-specific aux state (e.g. occupancy grid)
 
 
 @dataclass
@@ -66,6 +67,18 @@ class TrainerConfig:
     method_name: str = "method"
     timestamp: str = "{timestamp}"
     use_tensorboard: bool = False
+    use_wandb: bool = False
+    use_comet: bool = False
+    gradient_accumulation_steps: int = 1
+    """Accumulate gradients over N batches before applying (reference
+    trainer.py:85-86,463-479; optax.MultiSteps here)."""
+    profiler: str = "none"
+    """'none' | 'basic' (running-average timings) | 'xla' (device trace at
+    steps 10-15; reference utils/profiler.py)."""
+    vis: str = "none"
+    """'none' | 'viewer': serve the web viewer during training
+    (reference engine/trainer.py:178)."""
+    viewer_port: int = 7007
 
 
 class Trainer:
@@ -86,7 +99,12 @@ class Trainer:
         self.writer = Writer(
             self.base_dir, steps_per_log=config.steps_per_log,
             use_tensorboard=config.use_tensorboard,
+            use_wandb=config.use_wandb, use_comet=config.use_comet,
+            experiment_name=config.experiment_name,
         )
+        self._xla_profiler = None
+        self._viewer = None
+        self.train_lock = __import__("threading").Lock()
 
         self.mesh = mesh_lib.create_mesh(config.num_devices)
         self._train_step_jit = None
@@ -99,6 +117,10 @@ class Trainer:
         rng, init_key = jax.random.split(rng)
         params = self.model.init_params(init_key)
         self.tx = build_optimizer(self.optimizer_configs, params)
+        if self.config.gradient_accumulation_steps > 1:
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.config.gradient_accumulation_steps
+            )
         opt_state = self.tx.init(params)
         self.state = TrainState(
             params=params,
@@ -107,6 +129,7 @@ class Trainer:
             steps_since_update=jnp.asarray(0, jnp.int32),
             steps_since_update_thermal=jnp.asarray(0, jnp.int32),
             rng=rng,
+            extra=self.model.init_extra_state(),
         )
         # Replicate the train state across the mesh; batches are sharded.
         self.state = mesh_lib.replicate(self.state, self.mesh)
@@ -115,6 +138,34 @@ class Trainer:
         )
         self._load_checkpoint()
         self._build_train_step()
+
+        from nerfstudio_thermal_tpu.utils import profiler as profiler_lib
+
+        if self.config.profiler == "basic":
+            profiler_lib.setup_profiler(True, self.base_dir)
+        elif self.config.profiler == "xla":
+            self._xla_profiler = profiler_lib.XLAProfiler(self.base_dir)
+
+        if self.config.vis == "viewer":
+            self._start_viewer()
+
+    def _start_viewer(self):
+        """Serve the web viewer against live training params
+        (reference engine/trainer.py:178; renders under train_lock)."""
+        from nerfstudio_thermal_tpu.viewer.server import (
+            ViewerServer,
+            make_model_render_fn,
+        )
+
+        render_fn = make_model_render_fn(self.model, lambda: self.host_params())
+        self._viewer = ViewerServer(
+            render_fn,
+            output_names=["rgb", "rgb_thermal", "depth", "depth_thermal",
+                          "accumulation", "expected_depth"],
+            port=self.config.viewer_port,
+            train_lock=self.train_lock,
+        )
+        self._viewer.start(block=False)
 
     def _build_train_step(self):
         model = self.model
@@ -132,8 +183,9 @@ class Trainer:
         replicated = mesh_lib.replicated_sharding(self.mesh)
 
         def train_step(state: TrainState, batch):
-            rng, key_model, key_loss = jax.random.split(state.rng, 3)
+            rng, key_model, key_loss, key_extra = jax.random.split(state.rng, 4)
             step = state.step
+            extra = model.update_extra_state(state.params, state.extra, step, key_extra)
 
             anneal = (
                 proposal_anneal(step, anneal_iters, anneal_slope) if use_anneal else 1.0
@@ -165,6 +217,7 @@ class Trainer:
                 outputs = model.forward(
                     params, bundle, train=True, rng=key_model,
                     anneal=anneal, updated=updated, **thermal_kwargs,
+                    **model.extra_forward_kwargs(extra),
                 )
                 metrics = model.get_metrics_dict(params, outputs, batch, train=True)
                 loss_dict = model.get_loss_dict(
@@ -185,6 +238,7 @@ class Trainer:
                 steps_since_update=new_ssu,
                 steps_since_update_thermal=new_ssu_t,
                 rng=rng,
+                extra=extra,
             )
             scalars = {"loss": loss, **loss_dict, **metrics}
             return new_state, scalars
@@ -211,7 +265,10 @@ class Trainer:
         num_rays = self.datamanager.config.train_num_rays_per_batch
         t_last = time.perf_counter()
         for step in range(self._start_step, self.config.max_num_iterations):
-            scalars = self.train_iteration(step)
+            with self.train_lock:
+                scalars = self.train_iteration(step)
+            if self._xla_profiler is not None:
+                self._xla_profiler.step(step)
 
             if step % self.config.steps_per_log == 0:
                 scalars = {k: float(v) for k, v in scalars.items()}
@@ -223,11 +280,58 @@ class Trainer:
                 self.writer.write_scalar_dict(scalars, step, group="train")
                 self.writer.console_log(step, scalars)
 
+            if step > 0 and step % self.config.steps_per_eval_batch == 0:
+                self.eval_batch_iteration(step)
             if step > 0 and step % self.config.steps_per_eval_image == 0:
                 self.eval_iteration(step)
+            if (
+                self.config.steps_per_eval_all_images > 0
+                and step > 0
+                and step % self.config.steps_per_eval_all_images == 0
+            ):
+                metrics = self.pipeline.get_average_eval_image_metrics(
+                    self.host_params(), step
+                )
+                self.writer.write_scalar_dict(metrics, step, group="eval_all")
             if step > 0 and step % self.config.steps_per_save == 0:
                 self.save_checkpoint(step)
         self.save_checkpoint(self.config.max_num_iterations)
+
+    def eval_batch_iteration(self, step: int):
+        """Eval-ray-batch losses (reference trainer.py:501-517)."""
+        try:
+            batch = self.datamanager.next_eval(step)
+            device_batch = mesh_lib.shard_batch(
+                {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+            )
+            if not hasattr(self, "_eval_batch_jit"):
+                model = self.model
+                eval_rays = jax.tree.map(
+                    jnp.asarray, self.datamanager.eval_cameras
+                )
+                from nerfstudio_thermal_tpu.model_components.ray_generators import (
+                    RayGenerator,
+                )
+
+                gen = RayGenerator(eval_rays)
+
+                def eval_losses(params, batch, key):
+                    bundle = gen(batch["ray_indices"])
+                    outputs = model.forward(params, bundle, train=False, rng=None)
+                    metrics = model.get_metrics_dict(params, outputs, batch, train=False)
+                    losses = model.get_loss_dict(
+                        params, outputs, batch, metrics, train=False, rng=key
+                    )
+                    return {**losses, **metrics}
+
+                self._eval_batch_jit = jax.jit(eval_losses)
+            scalars = self._eval_batch_jit(
+                self.state.params, device_batch, jax.random.PRNGKey(step)
+            )
+            scalars = {f"eval_{k}": float(v) for k, v in scalars.items()}
+            self.writer.write_scalar_dict(scalars, step, group="eval")
+        except Exception as e:
+            print(f"eval batch failed at step {step}: {e}")
 
     def eval_iteration(self, step: int):
         try:

@@ -25,6 +25,9 @@ class NeRFField(nn.Module):
     head_mlp_num_layers: int = 2
     head_mlp_layer_width: int = 128
     skip_connections: Tuple[int, ...] = (4,)
+    use_integrated_encoding: bool = False
+    """MipNeRF: encode conical-frustum gaussians instead of points
+    (reference vanilla_nerf_field.py:56,86-90)."""
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
 
@@ -61,9 +64,16 @@ class NeRFField(nn.Module):
         )
 
     def __call__(self, ray_samples: RaySamples, train: bool = True) -> dict:
-        positions = ray_samples.get_positions()
-        shape = positions.shape[:-1]
-        enc = self.position_encoding(positions.reshape(-1, 3)).astype(self.compute_dtype)
+        if self.use_integrated_encoding:
+            means, cov_diag = ray_samples.get_gaussian_blob()
+            shape = means.shape[:-1]
+            enc = self.position_encoding(
+                means.reshape(-1, 3), covs=cov_diag.reshape(-1, 3)
+            ).astype(self.compute_dtype)
+        else:
+            positions = ray_samples.get_positions()
+            shape = positions.shape[:-1]
+            enc = self.position_encoding(positions.reshape(-1, 3)).astype(self.compute_dtype)
         base = self.mlp_base(enc)
         density = nn.softplus(
             self.density_head(base).astype(jnp.float32)

@@ -59,6 +59,18 @@ class Model:
     def get_outputs(self, params, ray_bundle: RayBundle, *, train, rng, **kwargs):
         raise NotImplementedError
 
+    # Optional auxiliary state carried in the TrainState (e.g. instant-ngp's
+    # occupancy grid — the functional replacement for the reference's
+    # stateful training callbacks, base_model.py:150-163).
+    def init_extra_state(self):
+        return None
+
+    def update_extra_state(self, params, extra, step, rng):
+        return extra
+
+    def extra_forward_kwargs(self, extra) -> Dict[str, Any]:
+        return {}
+
     def forward(self, params, ray_bundle: RayBundle, *, train=True, rng=None, **kwargs):
         """Collider + get_outputs (reference base_model.py:140-151)."""
         if self.collider is not None:

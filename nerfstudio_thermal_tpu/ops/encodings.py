@@ -335,14 +335,24 @@ class NeRFEncoding(nn.Module):
             d += self.in_dim
         return d
 
-    def __call__(self, in_tensor: jax.Array) -> jax.Array:
+    def __call__(self, in_tensor: jax.Array, covs: Optional[jax.Array] = None) -> jax.Array:
+        """covs: optional [..., in_dim] gaussian variances -> integrated
+        positional encoding (MipNeRF; reference encodings.py:152-180)."""
         scaled = 2.0 * jnp.pi * in_tensor
         freqs = 2.0 ** jnp.linspace(
             self.min_freq_exp, self.max_freq_exp, self.num_frequencies
         )
         scaled = scaled[..., None] * freqs  # [..., in_dim, F]
         scaled = scaled.reshape(*scaled.shape[:-2], -1)
-        encoded = jnp.sin(jnp.concatenate([scaled, scaled + jnp.pi / 2.0], axis=-1))
+        both = jnp.concatenate([scaled, scaled + jnp.pi / 2.0], axis=-1)
+        if covs is None:
+            encoded = jnp.sin(both)
+        else:
+            from nerfstudio_thermal_tpu.utils.math import expected_sin
+
+            input_var = covs[..., :, None] * freqs**2
+            input_var = input_var.reshape(*input_var.shape[:-2], -1)
+            encoded = expected_sin(both, jnp.concatenate([input_var] * 2, axis=-1))
         if self.include_input:
             encoded = jnp.concatenate([encoded, in_tensor], axis=-1)
         return encoded

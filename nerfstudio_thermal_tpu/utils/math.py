@@ -80,3 +80,35 @@ def safe_norm(x: jax.Array, axis=-1) -> jax.Array:
     s = jnp.sum(x * x, axis=axis)
     nonzero = s > 0
     return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, s, 1.0)), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Conical-frustum gaussians (MipNeRF IPE; reference utils/math.py:108-200)
+# ---------------------------------------------------------------------------
+
+
+def conical_frustum_to_gaussian_diag(origins, directions, starts, ends, radius):
+    """Gaussian approximation of a conical frustum; returns (means [..., 3],
+    cov_diag [..., 3]) — the diagonal is all the integrated positional
+    encoding needs (reference math.py:161-187 + NeRFEncoding covs usage)."""
+    mu = (starts + ends) / 2.0
+    hw = (ends - starts) / 2.0
+    means = origins + directions * (
+        mu + (2.0 * mu * hw**2.0) / (3.0 * mu**2.0 + hw**2.0)
+    )
+    dir_variance = (hw**2) / 3 - (4 / 15) * (
+        (hw**4 * (12 * mu**2 - hw**2)) / (3 * mu**2 + hw**2) ** 2
+    )
+    radius_variance = radius**2 * (
+        (mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / (3 * mu**2 + hw**2)
+    )
+    # diag(cov) = dir_var * d_i^2 + radius_var * (1 - d_i^2 / |d|^2)
+    d_sq = directions**2
+    d_mag_sq = jnp.maximum(jnp.sum(d_sq, axis=-1, keepdims=True), 1e-10)
+    cov_diag = dir_variance * d_sq + radius_variance * (1.0 - d_sq / d_mag_sq)
+    return means, cov_diag
+
+
+def expected_sin(x_means, x_vars):
+    """E[sin(y)], y ~ N(x_means, x_vars) (reference math.py:190-200)."""
+    return jnp.exp(-0.5 * x_vars) * jnp.sin(x_means)

@@ -59,6 +59,7 @@ def shrink(cfg):
         ("num_proposal_samples_per_ray", (4, 4)), ("num_nerf_samples_per_ray", 4),
         ("freq_num_layers", 2), ("freq_hidden_dim", 8), ("freq_num_frequencies", 2),
         ("num_coarse_samples", 4), ("num_importance_samples", 4),
+        ("num_samples_per_ray", 8), ("grid_resolution", 16),
     ):
         if hasattr(m, attr):
             setattr(m, attr, val)
