@@ -253,7 +253,23 @@ def make_instant_ngp() -> MethodConfig:
 
 register_method(make_vanilla_nerf())
 register_method(make_mipnerf())
+def make_depth_nerfacto() -> MethodConfig:
+    """(reference method_configs.py depth-nerfacto entry)."""
+    from nerfstudio_thermal_tpu.models.depth_nerfacto import DepthNerfactoModelConfig
+
+    cfg = make_nerfacto()
+    cfg.method_name = "depth-nerfacto"
+    cfg.trainer.method_name = "depth-nerfacto"
+    cfg.description = "Nerfacto with depth supervision (DS-NeRF/URF losses)."
+    base = cfg.model
+    cfg.model = DepthNerfactoModelConfig(**{
+        f.name: getattr(base, f.name) for f in __import__("dataclasses").fields(base)
+    })
+    return cfg
+
+
 register_method(make_instant_ngp())
+register_method(make_depth_nerfacto())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -303,8 +319,15 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
         InstantNGPModelConfig,
     )
 
+    from nerfstudio_thermal_tpu.models.depth_nerfacto import (
+        DepthNerfactoModel,
+        DepthNerfactoModelConfig,
+    )
+
     if isinstance(config.model, InstantNGPModelConfig):
         model_cls = InstantNGPModel
+    elif isinstance(config.model, DepthNerfactoModelConfig):
+        model_cls = DepthNerfactoModel
     elif isinstance(config.model, ThermalNerfactoModelConfig):
         model_cls = ThermalNerfactoModel
     elif isinstance(config.model, MipNerfModelConfig):

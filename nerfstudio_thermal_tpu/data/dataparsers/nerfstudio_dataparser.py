@@ -123,11 +123,15 @@ class Nerfstudio(DataParser):
                 p1=float(src.get("p1", 0)), p2=float(src.get("p2", 0)),
             )
 
-        image_filenames, mask_filenames, poses = [], [], []
+        image_filenames, mask_filenames, depth_filenames, poses = [], [], [], []
         fx, fy, cx, cy, height, width, distort = [], [], [], [], [], [], []
         for frame in frames:
             fname = self._get_fname(Path(frame["file_path"]), data_dir)
             image_filenames.append(fname)
+            if "depth_file_path" in frame:
+                depth_filenames.append(
+                    self._get_fname(Path(frame["depth_file_path"]), data_dir, "depths_")
+                )
             poses.append(np.asarray(frame["transform_matrix"], np.float32))
             if not fx_fixed:
                 fx.append(float(frame["fl_x"]))
@@ -188,6 +192,9 @@ class Nerfstudio(DataParser):
 
         image_filenames = [image_filenames[i] for i in indices]
         mask_filenames = [mask_filenames[i] for i in indices] if mask_filenames else []
+        depth_filenames = (
+            [depth_filenames[i] for i in indices] if depth_filenames else []
+        )
         poses = poses[indices]
 
         aabb = cfg.scene_scale * np.array(
@@ -245,7 +252,10 @@ class Nerfstudio(DataParser):
         if "applied_scale" in meta:
             scale_factor *= float(meta["applied_scale"])
 
-        metadata = {}
+        metadata = {
+            "depth_filenames": depth_filenames or None,
+            "depth_unit_scale_factor": cfg.depth_unit_scale_factor,
+        }
         for key in metadata_keys:
             vals = [frame[key] for frame in frames]
             metadata[key] = [vals[i] for i in indices]

@@ -60,6 +60,25 @@ class InputDataset:
             )
         return self._cache[idx]
 
+    def get_depth(self, idx: int):
+        """Depth image [H, W, 1] in scene units, or None
+        (reference datasets/depth_dataset.py: 16-bit png / npy scaled by
+        depth_unit_scale_factor)."""
+        depth_files = self.metadata.get("depth_filenames")
+        if not depth_files:
+            return None
+        scale = float(self.metadata.get("depth_unit_scale_factor", 1e-3))
+        path = depth_files[idx]
+        if str(path).endswith(".npy"):
+            depth = np.load(path).astype(np.float32)
+        else:
+            from PIL import Image
+
+            depth = np.asarray(Image.open(path)).astype(np.float32)
+        if depth.ndim == 2:
+            depth = depth[..., None]
+        return depth * scale
+
     def get_is_thermal(self, idx: int) -> float:
         vals = self.metadata.get("is_thermal")
         return float(vals[idx]) if vals is not None else 0.0

@@ -97,13 +97,21 @@ class PixelSampler:
             img = self.dataset.get_image(int(idx))
             image_vals[m] = img[yx[m, 0], yx[m, 1]]
         is_thermal_per_image = self.dataset.is_thermal
-        return {
+        batch = {
             "ray_indices": np.concatenate(
                 [cam_idx[:, None], yx], axis=-1
             ).astype(np.int32),
             "image": image_vals,
             "is_thermal": is_thermal_per_image[cam_idx].astype(np.float32),
         }
+        if self.dataset.metadata.get("depth_filenames"):
+            depth_vals = np.zeros((num_rays, 1), np.float32)
+            for idx in np.unique(cam_idx):
+                m = cam_idx == idx
+                depth = self.dataset.get_depth(int(idx))
+                depth_vals[m] = depth[yx[m, 0], yx[m, 1]][:, :1]
+            batch["depth_image"] = depth_vals
+        return batch
 
 
 class PatchPixelSampler(PixelSampler):

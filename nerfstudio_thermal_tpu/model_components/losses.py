@@ -135,6 +135,81 @@ def scale_gradients_by_distance_squared(field_outputs: dict, ray_samples: RaySam
 
 
 # ---------------------------------------------------------------------------
+# Depth supervision (reference losses.py:229-330)
+# ---------------------------------------------------------------------------
+
+URF_SIGMA_SCALE_FACTOR = 3.0
+
+
+def ds_nerf_depth_loss(weights, termination_depth, steps, lengths, sigma):
+    """Depth-supervised NeRF loss (Deng et al. 2022; reference :229-252)."""
+    depth_mask = (termination_depth > 0).astype(jnp.float32)
+    loss = (
+        -jnp.log(weights + EPS)
+        * jnp.exp(-((steps - termination_depth[:, None]) ** 2) / (2 * sigma))
+        * lengths
+    )
+    loss = jnp.sum(loss, axis=-2) * depth_mask
+    return jnp.mean(loss)
+
+
+def urban_radiance_field_depth_loss(
+    weights, termination_depth, predicted_depth, steps, sigma
+):
+    """URF lidar losses (Rematas et al. 2022; reference :254-290)."""
+    depth_mask = (termination_depth > 0).astype(jnp.float32)
+    expected_depth_loss = (termination_depth - predicted_depth) ** 2
+
+    std = sigma / URF_SIGMA_SCALE_FACTOR
+    term = termination_depth[:, None]
+    log_prob = -0.5 * ((steps - term) / std) ** 2 - jnp.log(
+        std * jnp.sqrt(2.0 * jnp.pi)
+    )
+    near_mask = (steps <= term + sigma) & (steps >= term - sigma)
+    near = (weights - jnp.exp(log_prob)) ** 2
+    near = jnp.sum(near_mask * near, axis=-2)
+    empty_mask = steps < term - sigma
+    empty = jnp.sum(empty_mask * weights**2, axis=-2)
+    loss = (expected_depth_loss + near + empty) * depth_mask
+    return jnp.mean(loss)
+
+
+def depth_loss(
+    weights,
+    ray_samples: RaySamples,
+    termination_depth,
+    predicted_depth,
+    sigma,
+    directions_norm,
+    is_euclidean: bool,
+    depth_loss_type: str = "ds_nerf",
+):
+    """Depth loss dispatcher (reference :293-330)."""
+    if not is_euclidean:
+        termination_depth = termination_depth * directions_norm
+    steps = (ray_samples.starts + ray_samples.ends) / 2.0
+    if depth_loss_type == "ds_nerf":
+        lengths = ray_samples.ends - ray_samples.starts
+        return ds_nerf_depth_loss(weights, termination_depth, steps, lengths, sigma)
+    if depth_loss_type == "urf":
+        return urban_radiance_field_depth_loss(
+            weights, termination_depth, predicted_depth, steps, sigma
+        )
+    raise NotImplementedError(f"depth loss type {depth_loss_type}")
+
+
+def depth_ranking_loss(rendered_depth, gt_depth):
+    """SparseNeRF depth ranking over PairPixelSampler layouts
+    (reference :577-590)."""
+    m = 1e-4
+    dpt_diff = gt_depth[::2, :] - gt_depth[1::2, :]
+    out_diff = rendered_depth[::2, :] - rendered_depth[1::2, :] + m
+    differing_signs = jnp.sign(dpt_diff) != jnp.sign(out_diff)
+    per = jnp.where(differing_signs, out_diff * jnp.sign(out_diff), jnp.nan)
+    return jnp.nanmean(per)
+
+
+# ---------------------------------------------------------------------------
 # Thermal (cross-spectral) losses — the fork's additions
 # ---------------------------------------------------------------------------
 
