@@ -117,3 +117,32 @@ class PixelSampler:
 class PatchPixelSampler(PixelSampler):
     """Alias with patch semantics (reference :370-442); behavior selected by
     config.patch_size."""
+
+
+class PairPixelSampler(PixelSampler):
+    """Samples pixels in pairs within a small radius, the layout the
+    depth-ranking loss expects (reference pixel_samplers.py:450-506:
+    consecutive rays [anchor, neighbor, anchor, neighbor, ...])."""
+
+    def __init__(self, config: PixelSamplerConfig, dataset: InputDataset,
+                 seed: int = 0, radius: int = 2):
+        super().__init__(config, dataset, seed)
+        self.radius = radius
+        # pairs, not patches
+        self.num_rays_per_batch = config.num_rays_per_batch // 2 * 2
+
+    def _sample_in_image(self, idx: int, num_rays: int):
+        img = self.dataset.get_image(idx)
+        h, w = img.shape[:2]
+        r = self.radius
+        n_pairs = max(num_rays // 2, 1)
+        ys = self.rng.integers(r, max(h - r, r + 1), n_pairs)
+        xs = self.rng.integers(r, max(w - r, r + 1), n_pairs)
+        dy = self.rng.integers(-r, r + 1, n_pairs)
+        dx = self.rng.integers(-r, r + 1, n_pairs)
+        ys2 = np.clip(ys + dy, 0, h - 1)
+        xs2 = np.clip(xs + dx, 0, w - 1)
+        yx = np.empty((n_pairs * 2, 2), np.int64)
+        yx[0::2, 0], yx[0::2, 1] = ys, xs
+        yx[1::2, 0], yx[1::2, 1] = ys2, xs2
+        return yx[:num_rays]

@@ -284,10 +284,13 @@ class NerfactoModel(Model):
             "expected_depth": expected_depth,
             "density": field_outputs[FieldHeadNames.DENSITY],
         }
-        for i in range(cfg.num_proposal_iterations):
-            outputs[f"prop_depth_{i}"] = renderers.render_depth_median(
-                weights_list[i], ray_samples_list[i]
-            )
+        if not train:
+            # proposal depth maps are logging/eval-only (reference keeps them
+            # always; skipping in train saves several masked reductions/step)
+            for i in range(cfg.num_proposal_iterations):
+                outputs[f"prop_depth_{i}"] = renderers.render_depth_median(
+                    weights_list[i], ray_samples_list[i]
+                )
         return outputs, weights_list, ray_samples_list
 
     def get_outputs(

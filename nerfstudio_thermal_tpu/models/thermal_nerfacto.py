@@ -290,20 +290,29 @@ class ThermalNerfactoModel(NerfactoModel):
 
             if cfg.density_loss_mult > 0 or not train:
                 # Cross-field density evals on each other's samples
-                # (reference :447-458).
-                fo = self.field.apply(
-                    {"params": params["fields"]}, ray_samples_t, train=train
+                # (reference :447-458 runs the full forward; only DENSITY is
+                # consumed, so evaluate the density path alone).
+                d2, _ = self.field.apply(
+                    {"params": params["fields"]},
+                    ray_samples_t.get_positions(),
+                    method=self.field.get_density,
                 )
                 if cfg.use_gradient_scaling:
-                    fo = scale_gradients_by_distance_squared(fo, ray_samples)
-                outputs["density2"] = fo[FieldHeadNames.DENSITY]
+                    d2 = scale_gradients_by_distance_squared(
+                        {FieldHeadNames.DENSITY: d2}, ray_samples
+                    )[FieldHeadNames.DENSITY]
+                outputs["density2"] = d2
 
-                fo = self.field_thermal.apply(
-                    {"params": params["fields_thermal"]}, ray_samples, train=train
+                d2t, _ = self.field_thermal.apply(
+                    {"params": params["fields_thermal"]},
+                    ray_samples.get_positions(),
+                    method=self.field_thermal.get_density,
                 )
                 if cfg.use_gradient_scaling:
-                    fo = scale_gradients_by_distance_squared(fo, ray_samples)
-                outputs["density2_thermal"] = fo[FieldHeadNames.DENSITY]
+                    d2t = scale_gradients_by_distance_squared(
+                        {FieldHeadNames.DENSITY: d2t}, ray_samples
+                    )[FieldHeadNames.DENSITY]
+                outputs["density2_thermal"] = d2t
 
             if not train:
                 # Removal rendering (reference :460-487): keep samples whose
