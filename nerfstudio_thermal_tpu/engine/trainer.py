@@ -277,6 +277,13 @@ class Trainer:
                 t_last = t_now
                 rays_per_sec = num_rays / max(iter_time, 1e-9)
                 scalars[EventName.TRAIN_RAYS_PER_SEC] = rays_per_sec
+                # device memory (reference logs GPU memory, trainer.py:272-283)
+                try:
+                    stats = jax.local_devices()[0].memory_stats() or {}
+                    if "bytes_in_use" in stats:
+                        scalars["Device Memory (MB)"] = stats["bytes_in_use"] / 1e6
+                except Exception:
+                    pass
                 self.writer.write_scalar_dict(scalars, step, group="train")
                 self.writer.console_log(step, scalars)
 
