@@ -148,11 +148,19 @@ class Cameras:
             axis=-1,
         )
 
+        # Orthophoto: constant -z direction; ray origins offset on the image
+        # plane (reference cameras.py:839-855).
+        ortho = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), persp.shape)
+
         ct = cam_type[None, ..., None]
         directions_stack = jnp.where(
             ct == CameraType.FISHEYE.value,
             fish,
-            jnp.where(ct == CameraType.EQUIRECTANGULAR.value, equi, persp),
+            jnp.where(
+                ct == CameraType.EQUIRECTANGULAR.value,
+                equi,
+                jnp.where(ct == CameraType.ORTHOPHOTO.value, ortho, persp),
+            ),
         )
 
         c2w = self.camera_to_worlds[idx]
@@ -168,6 +176,16 @@ class Cameras:
         )
 
         origins = c2w[..., :3, 3]
+        # orthophoto origins: translate on the image plane (y flipped back to
+        # left-handed per reference :851)
+        grid = jnp.stack(
+            [coord_stack[0, ..., 0], -coord_stack[0, ..., 1], jnp.zeros_like(cx)],
+            axis=-1,
+        )
+        ortho_origins = origins + jnp.einsum("...ij,...j->...i", rotation, grid)
+        origins = jnp.where(
+            (cam_type == CameraType.ORTHOPHOTO.value)[..., None], ortho_origins, origins
+        )
         directions = directions_stack[0]
         dx = jnp.sqrt(jnp.sum((directions - directions_stack[1]) ** 2, axis=-1))
         dy = jnp.sqrt(jnp.sum((directions - directions_stack[2]) ** 2, axis=-1))

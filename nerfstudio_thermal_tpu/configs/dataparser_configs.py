@@ -1,0 +1,52 @@
+"""Dataparser registry.
+
+Behavioral spec: reference `nerfstudio/configs/dataparser_configs.py:39-66`
+(`thermalnerf-data` at :58); external dataparsers register via the
+`nerfstudio.dataparser_configs` entry-point group.
+"""
+
+from typing import Dict
+
+from nerfstudio_thermal_tpu.data.dataparsers.base_dataparser import DataParserConfig
+from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (
+    Blender,
+    BlenderDataParserConfig,
+)
+from nerfstudio_thermal_tpu.data.dataparsers.colmap_dataparser import (
+    ColmapDataParser,
+    ColmapDataParserConfig,
+)
+from nerfstudio_thermal_tpu.data.dataparsers.minimal_dataparser import (
+    MinimalDataParser,
+    MinimalDataParserConfig,
+)
+from nerfstudio_thermal_tpu.data.dataparsers.nerfstudio_dataparser import (
+    Nerfstudio,
+    NerfstudioDataParserConfig,
+    ThermalNerf,
+    ThermalNerfDataParserConfig,
+)
+
+dataparser_configs: Dict[str, DataParserConfig] = {
+    "nerfstudio-data": NerfstudioDataParserConfig(),
+    "thermalnerf-data": ThermalNerfDataParserConfig(),
+    "blender-data": BlenderDataParserConfig(),
+    "colmap": ColmapDataParserConfig(),
+    "minimal-parser": MinimalDataParserConfig(),
+}
+
+DATAPARSER_CLASSES = {
+    NerfstudioDataParserConfig: Nerfstudio,
+    ThermalNerfDataParserConfig: ThermalNerf,
+    BlenderDataParserConfig: Blender,
+    ColmapDataParserConfig: ColmapDataParser,
+    MinimalDataParserConfig: MinimalDataParser,
+}
+
+
+def build_dataparser(config: DataParserConfig):
+    """Instantiate the parser for a config (most-specific class wins)."""
+    for cls in type(config).__mro__:
+        if cls in DATAPARSER_CLASSES:
+            return DATAPARSER_CLASSES[cls](config)
+    raise KeyError(f"no dataparser registered for {type(config).__name__}")

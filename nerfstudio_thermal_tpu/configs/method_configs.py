@@ -286,10 +286,7 @@ def get_method_config(name: str) -> MethodConfig:
 def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trainer:
     """Wire dataparser -> datamanager -> model -> pipeline -> trainer
     (the reference's InstantiateConfig.setup() chain, configs/base_config.py:47-56)."""
-    from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (
-        Blender,
-        BlenderDataParserConfig,
-    )
+    from nerfstudio_thermal_tpu.configs.dataparser_configs import build_dataparser
     from nerfstudio_thermal_tpu.models.nerfacto import NerfactoModel
     from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
     from nerfstudio_thermal_tpu.models.vanilla_nerf import NeRFModel, VanillaModelConfig
@@ -298,12 +295,7 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     if config.data is not None:
         config.dataparser.data = Path(config.data)
 
-    if isinstance(config.dataparser, ThermalNerfDataParserConfig):
-        dataparser = ThermalNerf(config.dataparser)
-    elif isinstance(config.dataparser, BlenderDataParserConfig):
-        dataparser = Blender(config.dataparser)
-    else:
-        dataparser = Nerfstudio(config.dataparser)
+    dataparser = build_dataparser(config.dataparser)
 
     from nerfstudio_thermal_tpu.data.datamanagers import VanillaDataManager
 
