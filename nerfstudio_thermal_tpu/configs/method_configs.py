@@ -269,7 +269,35 @@ def make_depth_nerfacto() -> MethodConfig:
 
 
 register_method(make_instant_ngp())
+def make_tensorf() -> MethodConfig:
+    """(reference method_configs.py tensorf entry)."""
+    from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (
+        BlenderDataParserConfig,
+    )
+    from nerfstudio_thermal_tpu.models.tensorf import TensoRFModelConfig
+
+    return MethodConfig(
+        method_name="tensorf",
+        description="TensoRF: vector-matrix tensor-decomposed radiance field.",
+        trainer=TrainerConfig(max_num_iterations=30000, method_name="tensorf"),
+        dataparser=BlenderDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=4096, eval_num_rays_per_batch=4096
+        ),
+        model=TensoRFModelConfig(eval_num_rays_per_chunk=1 << 14),
+        optimizers={
+            "fields": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=1e-2, eps=1e-8),
+                scheduler=ExponentialDecaySchedulerConfig(
+                    lr_final=1e-3, max_steps=30000
+                ),
+            ),
+        },
+    )
+
+
 register_method(make_depth_nerfacto())
+register_method(make_tensorf())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -316,7 +344,11 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
         DepthNerfactoModelConfig,
     )
 
-    if isinstance(config.model, InstantNGPModelConfig):
+    from nerfstudio_thermal_tpu.models.tensorf import TensoRFModel, TensoRFModelConfig
+
+    if isinstance(config.model, TensoRFModelConfig):
+        model_cls = TensoRFModel
+    elif isinstance(config.model, InstantNGPModelConfig):
         model_cls = InstantNGPModel
     elif isinstance(config.model, DepthNerfactoModelConfig):
         model_cls = DepthNerfactoModel

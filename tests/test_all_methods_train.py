@@ -60,6 +60,9 @@ def shrink(cfg):
         ("freq_num_layers", 2), ("freq_hidden_dim", 8), ("freq_num_frequencies", 2),
         ("num_coarse_samples", 4), ("num_importance_samples", 4),
         ("num_samples_per_ray", 8), ("grid_resolution", 16),
+        ("num_uniform_samples", 8), ("num_samples", 4), ("resolution", 16),
+        ("density_components", 4), ("color_components", 6), ("appearance_dim", 6),
+        ("head_mlp_width", 8),
     ):
         if hasattr(m, attr):
             setattr(m, attr, val)
