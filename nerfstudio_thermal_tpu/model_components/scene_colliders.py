@@ -43,3 +43,30 @@ class AABBBoxCollider:
         nears = jnp.clip(nears, near_plane, None)
         fars = jnp.maximum(fars, nears + 1e-6)
         return ray_bundle.replace(nears=nears, fars=fars)
+
+
+class SphereCollider:
+    """Ray-sphere intersection near/far (reference scene_colliders.py:126-166).
+    Rays missing the sphere get near=far (zero-weight samples)."""
+
+    def __init__(self, center, radius: float, near_plane: float = 0.0):
+        self.center = jnp.asarray(center)
+        self.radius = radius
+        self.near_plane = near_plane
+
+    def __call__(self, ray_bundle: RayBundle, train: bool = True) -> RayBundle:
+        o = ray_bundle.origins - self.center
+        d = ray_bundle.directions
+        a = jnp.sum(d * d, axis=-1, keepdims=True)
+        b = 2.0 * jnp.sum(o * d, axis=-1, keepdims=True)
+        c = jnp.sum(o * o, axis=-1, keepdims=True) - self.radius**2
+        disc = b * b - 4 * a * c
+        hit = disc > 0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        nears = (-b - sq) / (2 * a)
+        fars = (-b + sq) / (2 * a)
+        near_plane = self.near_plane if train else 0.0
+        nears = jnp.clip(nears, near_plane, None)
+        nears = jnp.where(hit, nears, near_plane)
+        fars = jnp.where(hit, jnp.maximum(fars, nears + 1e-6), near_plane + 1e-6)
+        return ray_bundle.replace(nears=nears, fars=fars)
