@@ -327,6 +327,11 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
 
     from nerfstudio_thermal_tpu.data.datamanagers import VanillaDataManager
 
+    # per-process seed offset so multihost workers sample different rays
+    # (reference scripts/train.py:97)
+    import jax as _jax
+
+    config.datamanager.seed = config.datamanager.seed + 7919 * _jax.process_index()
     datamanager = VanillaDataManager(config.datamanager, dataparser)
 
     metadata = dict(datamanager.train_dataparser_outputs.metadata)

@@ -371,6 +371,8 @@ class Trainer:
             "steps_since_update": int(self.state.steps_since_update),
             "steps_since_update_thermal": int(self.state.steps_since_update_thermal),
         }
+        if self.state.extra is not None:
+            ckpt["extra"] = jax.tree.map(np.asarray, self.state.extra)
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, ckpt, force=True)
         if self.config.save_only_latest_checkpoint:
@@ -402,6 +404,8 @@ class Trainer:
             "steps_since_update": 0,
             "steps_since_update_thermal": 0,
         }
+        if self.state.extra is not None:
+            template["extra"] = jax.tree.map(np.asarray, self.state.extra)
         restored = ckptr.restore(path.absolute(), item=template)
         self.state = self.state.replace(
             params=jax.tree.map(jnp.asarray, restored["params"]),
@@ -410,6 +414,11 @@ class Trainer:
             steps_since_update=jnp.asarray(restored["steps_since_update"], jnp.int32),
             steps_since_update_thermal=jnp.asarray(
                 restored["steps_since_update_thermal"], jnp.int32
+            ),
+            extra=(
+                jax.tree.map(jnp.asarray, restored["extra"])
+                if "extra" in restored and self.state.extra is not None
+                else self.state.extra
             ),
         )
         self.state = mesh_lib.replicate(self.state, self.mesh)
