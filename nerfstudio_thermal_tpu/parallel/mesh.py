@@ -59,8 +59,24 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
-    """Device-put a host batch with the leading dim sharded over `data`."""
+    """Build the device batch with the leading dim sharded over `data`.
+
+    Single-process: a plain device_put with the global sharding. Multi-host
+    (>1 process): each process holds only its LOCAL slice of the batch (the
+    datamanagers sample with per-process seed offsets), so the global array
+    must be assembled from per-process shards with
+    `jax.make_array_from_process_local_data` — a device_put of a host-global
+    array would be wrong there (each host's copy differs). Replaces the
+    reference's per-rank DataLoader + DDP implicit sharding
+    (scripts/train.py:97, base_datamanager.py)."""
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
