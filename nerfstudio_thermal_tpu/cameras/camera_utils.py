@@ -170,3 +170,83 @@ def get_distortion_params(
     """Pack OpenCV distortion params in the [k1 k2 k3 k4 p1 p2] layout
     (reference camera_utils.py:296-341)."""
     return np.array([k1, k2, k3, k4, p1, p2], dtype=np.float32)
+
+
+def fisheye624_unproject(
+    pix: jax.Array, camera_params: jax.Array, max_iters: int = 5
+) -> jax.Array:
+    """Unproject pixels under the FisheyeRadTanThinPrism (Fisheye624) model.
+
+    Behavioral spec: reference cameras/camera_utils.py:716-845
+    (fisheye624_unproject_helper + the OpenCV->OpenGL sign flips of
+    fisheye624_unproject). No analytic inverse exists, so two fixed-iteration
+    Newton solves run per ray (static trip count: jit-friendly).
+
+    Args:
+        pix: [..., 2] pixel coordinates (u, v).
+        camera_params: [..., 16] per-ray [fx fy cx cy k0..k5 p0 p1 s0..s3].
+
+    Returns:
+        [..., 3] OpenGL camera-space ray directions (z = -1 plane).
+    """
+    eps = 1e-6
+    fx_fy = camera_params[..., 0:2]
+    cx_cy = camera_params[..., 2:4]
+    ks = [camera_params[..., 4 + i] for i in range(6)]
+    p0, p1 = camera_params[..., 10], camera_params[..., 11]
+    s0, s1, s2, s3 = (camera_params[..., 12 + i] for i in range(4))
+
+    uv_dist = (pix - cx_cy) / fx_fy  # [..., 2]
+
+    def distort_est(xr_yr):
+        xr, yr = xr_yr[..., 0], xr_yr[..., 1]
+        xr_sq, yr_sq = xr * xr, yr * yr
+        rd_sq = xr_sq + yr_sq
+        rd_4 = rd_sq * rd_sq
+        u = xr + (2.0 * xr_sq + rd_sq) * p0 + 2.0 * xr * yr * p1 + s0 * rd_sq + s1 * rd_4
+        v = yr + (2.0 * yr_sq + rd_sq) * p1 + 2.0 * xr * yr * p0 + s2 * rd_sq + s3 * rd_4
+        return jnp.stack([u, v], axis=-1)
+
+    # Newton solve 1: invert tangential + thin-prism to get (x_r, y_r).
+    xr_yr = uv_dist
+    for _ in range(max_iters):
+        est = distort_est(xr_yr)
+        xr, yr = xr_yr[..., 0], xr_yr[..., 1]
+        sq_norm = xr * xr + yr * yr
+        t1 = 2.0 * (s0 + 2.0 * s1 * sq_norm)
+        t2 = 2.0 * (s2 + 2.0 * s3 * sq_norm)
+        a = 1.0 + 6.0 * xr * p0 + 2.0 * yr * p1 + xr * t1
+        b = 2.0 * (xr * p1 + yr * p0) + yr * t1
+        c = 2.0 * (xr * p1 + yr * p0) + xr * t2
+        d = 1.0 + 6.0 * yr * p1 + 2.0 * xr * p0 + yr * t2
+        det = a * d - b * c
+        diff = uv_dist - est
+        e, f = diff[..., 0], diff[..., 1]
+        step = jnp.stack([(d * e - b * f), (-c * e + a * f)], axis=-1) / det[..., None]
+        xr_yr = xr_yr + step
+
+    # Newton solve 2: invert the radial polynomial for theta.
+    xr_yr_norm = jnp.linalg.norm(xr_yr, axis=-1)
+    th = xr_yr_norm
+    for _ in range(max_iters):
+        th_radial = jnp.ones_like(th)
+        dthd_th = jnp.ones_like(th)
+        for k in range(6):
+            th_radial = th_radial + ks[k] * th ** (2 + k * 2)
+            dthd_th = dthd_th + (3.0 + 2.0 * k) * ks[k] * th ** (2 + k * 2)
+        th_radial = th_radial * th
+        step = (xr_yr_norm - th_radial) / dthd_th
+        step = jnp.where(
+            jnp.abs(dthd_th) > eps, step, jnp.sign(step) * eps * 10.0
+        )
+        th = th + step
+
+    close = (jnp.abs(th) < eps) & (jnp.abs(xr_yr_norm) < eps)
+    scale = jnp.where(
+        close, 1.0, jnp.tan(th) / jnp.maximum(xr_yr_norm, eps)
+    )[..., None]
+    ray_dir = xr_yr * scale
+    # OpenCV -> OpenGL: flip y and z (reference camera_utils.py:839-845).
+    return jnp.stack(
+        [ray_dir[..., 0], -ray_dir[..., 1], -jnp.ones_like(th)], axis=-1
+    )

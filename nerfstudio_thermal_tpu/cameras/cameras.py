@@ -110,12 +110,21 @@ class Cameras:
         else:
             cam_type = self.camera_type[idx]
 
-        if not disable_distortion and self.distortion_params is not None:
-            dist = self.distortion_params[idx]
+        dist = (
+            self.distortion_params[idx]
+            if self.distortion_params is not None
+            else None
+        )
+        if not disable_distortion and dist is not None:
             undistorted = camera_utils.radial_and_tangential_undistort(
-                coord_stack, dist[None]
+                coord_stack, dist[None, ..., :6]
             )
-            no_distortion = (cam_type == CameraType.EQUIRECTANGULAR.value)[..., None]
+            # equirect never undistorts; fisheye624 uses its own 12-param
+            # model on raw pixels below (reference cameras.py:645-651,856).
+            no_distortion = (
+                (cam_type == CameraType.EQUIRECTANGULAR.value)
+                | (cam_type == CameraType.FISHEYE624.value)
+            )[..., None]
             coord_stack = jnp.where(no_distortion[None], coord_stack, undistorted)
 
         # OpenCV -> OpenGL y flip (reference cameras.py:655).
@@ -152,16 +161,74 @@ class Cameras:
         # plane (reference cameras.py:839-855).
         ortho = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), persp.shape)
 
+        # VR180 L/R: equirect-style directions with theta range halved to
+        # +/-90 deg (reference cameras.py:731-760; the reference derives
+        # theta from raw pixel coords of the base ray only — using the
+        # undistorted per-offset coords here is equivalent for the
+        # distortion-free VR use case and gives correct ray differentials).
+        vtheta = -jnp.pi * cxs / 2.0
+        vr180 = jnp.stack(
+            [
+                -jnp.sin(vtheta) * jnp.sin(ephi),
+                jnp.cos(ephi),
+                -jnp.cos(vtheta) * jnp.sin(ephi),
+            ],
+            axis=-1,
+        )
+
+        # Trace-time pruning: with concrete (non-tracer) camera types the
+        # unused branches fold away; under tracing all branches compile.
+        def _maybe_has(value: int) -> bool:
+            try:
+                return bool((cam_type == value).any())
+            except jax.errors.TracerBoolConversionError:
+                return True
+
         ct = cam_type[None, ..., None]
         directions_stack = jnp.where(
             ct == CameraType.FISHEYE.value,
             fish,
             jnp.where(
-                ct == CameraType.EQUIRECTANGULAR.value,
+                (ct == CameraType.EQUIRECTANGULAR.value)
+                | (ct == CameraType.OMNIDIRECTIONALSTEREO_L.value)
+                | (ct == CameraType.OMNIDIRECTIONALSTEREO_R.value),
                 equi,
-                jnp.where(ct == CameraType.ORTHOPHOTO.value, ortho, persp),
+                jnp.where(
+                    (ct == CameraType.VR180_L.value)
+                    | (ct == CameraType.VR180_R.value),
+                    vr180,
+                    jnp.where(ct == CameraType.ORTHOPHOTO.value, ortho, persp),
+                ),
             ),
         )
+
+        # Fisheye624 (radial + tangential + thin-prism, reference
+        # cameras.py:856-904): unprojects raw pixel coords with the 12-param
+        # model; needs distortion_params[..., :12].
+        if dist is not None and dist.shape[-1] >= 12 and _maybe_has(
+            CameraType.FISHEYE624.value
+        ):
+            pix_stack = jnp.stack(
+                [
+                    jnp.stack([x, y], -1),
+                    jnp.stack([x + 1.0, y], -1),
+                    jnp.stack([x, y + 1.0], -1),
+                ],
+                axis=0,
+            )
+            camera_params = jnp.concatenate(
+                [
+                    fx[..., None], fy[..., None], cx[..., None], cy[..., None],
+                    dist[..., :12],
+                ],
+                axis=-1,
+            )
+            f624 = camera_utils.fisheye624_unproject(
+                pix_stack, camera_params[None]
+            )
+            directions_stack = jnp.where(
+                ct == CameraType.FISHEYE624.value, f624, directions_stack
+            )
 
         c2w = self.camera_to_worlds[idx]
         if camera_opt_to_camera is not None:
@@ -186,6 +253,39 @@ class Cameras:
         origins = jnp.where(
             (cam_type == CameraType.ORTHOPHOTO.value)[..., None], ortho_origins, origins
         )
+
+        # Stereo eye origins (reference cameras.py:673-760): ODS rays start on
+        # a horizontal IPD/2 circle (phase set by the pixel azimuth), VR180
+        # rays on a fixed interocular offset; both rotated into world space.
+        vr_ipd = 0.064  # meters (reference :700)
+        eye_sign = jnp.where(
+            (cam_type == CameraType.OMNIDIRECTIONALSTEREO_R.value)
+            | (cam_type == CameraType.VR180_R.value),
+            1.0,
+            -1.0,
+        )
+        ods_theta = -jnp.pi * (x - cx) / fx
+        ods_offset = (
+            eye_sign[..., None]
+            * (vr_ipd / 2.0)
+            * jnp.stack(
+                [jnp.cos(ods_theta), jnp.zeros_like(ods_theta), -jnp.sin(ods_theta)],
+                axis=-1,
+            )
+        )
+        vr180_offset = eye_sign[..., None] * (vr_ipd / 2.0) * jnp.asarray([1.0, 0.0, 0.0])
+        is_ods = (
+            (cam_type == CameraType.OMNIDIRECTIONALSTEREO_L.value)
+            | (cam_type == CameraType.OMNIDIRECTIONALSTEREO_R.value)
+        )[..., None]
+        is_vr180 = (
+            (cam_type == CameraType.VR180_L.value)
+            | (cam_type == CameraType.VR180_R.value)
+        )[..., None]
+        stereo_offset = jnp.where(
+            is_ods, ods_offset, jnp.where(is_vr180, vr180_offset, 0.0)
+        )
+        origins = origins + jnp.einsum("...ij,...j->...i", rotation, stereo_offset)
         directions = directions_stack[0]
         dx = jnp.sqrt(jnp.sum((directions - directions_stack[1]) ** 2, axis=-1))
         dy = jnp.sqrt(jnp.sum((directions - directions_stack[2]) ** 2, axis=-1))

@@ -106,21 +106,34 @@ class MLPDensityField(nn.Module):
         positions = positions * selector[..., None]
         flat = positions.reshape(-1, 3)
 
-        encoded = NeRFEncoding(
-            in_dim=3,
-            num_frequencies=self.num_frequencies,
-            min_freq_exp=0.0,
-            max_freq_exp=self.num_frequencies - 1,
-            include_input=True,
-        )(flat).astype(self.compute_dtype)
-        h = MLP(
-            num_layers=self.num_layers,
-            layer_width=self.hidden_dim,
-            out_dim=1,
-            compute_dtype=self.compute_dtype,
-            fused=getattr(self, "use_pallas", False),
-            name="mlp",
-        )(encoded)
+        if self.use_pallas:
+            # encoding fused into the Pallas MLP kernel: no [N, enc] HBM tensor
+            h = MLP(
+                num_layers=self.num_layers,
+                layer_width=self.hidden_dim,
+                out_dim=1,
+                compute_dtype=self.compute_dtype,
+                fused=True,
+                freq_encoding=(
+                    self.num_frequencies, 0.0, self.num_frequencies - 1.0, True
+                ),
+                name="mlp",
+            )(flat)
+        else:
+            encoded = NeRFEncoding(
+                in_dim=3,
+                num_frequencies=self.num_frequencies,
+                min_freq_exp=0.0,
+                max_freq_exp=self.num_frequencies - 1,
+                include_input=True,
+            )(flat).astype(self.compute_dtype)
+            h = MLP(
+                num_layers=self.num_layers,
+                layer_width=self.hidden_dim,
+                out_dim=1,
+                compute_dtype=self.compute_dtype,
+                name="mlp",
+            )(encoded)
         density_before = h.reshape(*positions.shape[:-1], 1).astype(jnp.float32)
         density = self.average_init_density * trunc_exp(density_before)
         return density * selector[..., None]

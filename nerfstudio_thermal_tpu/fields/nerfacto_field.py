@@ -74,6 +74,9 @@ class NerfactoField(nn.Module):
                 max_freq_exp=self.freq_num_frequencies - 1,
                 include_input=True,
             )
+            # With Pallas the encoding runs inside the fused kernel (the
+            # [N, enc] tensor never exists in HBM); otherwise it's applied in
+            # get_density before the XLA MLP.
             self.mlp_base_net = MLP(
                 num_layers=self.freq_num_layers,
                 layer_width=self.freq_hidden_dim,
@@ -81,6 +84,12 @@ class NerfactoField(nn.Module):
                 skip_connections=(self.freq_num_layers // 2,),
                 compute_dtype=self.compute_dtype,
                 fused=self.use_pallas,
+                freq_encoding=(
+                    (self.freq_num_frequencies, 0.0,
+                     self.freq_num_frequencies - 1.0, True)
+                    if self.use_pallas
+                    else None
+                ),
             )
         else:
             self.mlp_base = MLPWithHashEncoding(
@@ -134,9 +143,12 @@ class NerfactoField(nn.Module):
         positions, selector = self._normalize_positions(positions)
         flat = positions.reshape(-1, 3)
         if self.field_encoding == "freq":
-            h = self.mlp_base_net(
-                self.position_encoding(flat).astype(self.compute_dtype)
-            )
+            if self.use_pallas:
+                h = self.mlp_base_net(flat)  # encoding fused in-kernel
+            else:
+                h = self.mlp_base_net(
+                    self.position_encoding(flat).astype(self.compute_dtype)
+                )
         else:
             h = self.mlp_base(flat)
         h = h.reshape(*positions.shape[:-1], h.shape[-1])

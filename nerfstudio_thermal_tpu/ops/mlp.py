@@ -37,26 +37,56 @@ class MLP(nn.Module):
     activations never touch HBM. Requires relu hidden activation and
     None/sigmoid output activation; interprets on CPU automatically."""
     fused_block_size: int = 4096
+    freq_encoding: Optional[Tuple[int, float, float, bool]] = None
+    """(num_frequencies, min_exp, max_exp, include_input): compute the NeRF
+    frequency encoding INSIDE the fused kernel (x must then be raw f32
+    coordinates) — the tcnn NetworkWithInputEncoding analogue. Forces the
+    fused path; the [N, enc_dim] encoding never touches HBM."""
 
     def _fusable(self) -> bool:
         relu_ok = self.activation in (nn.relu, jax.nn.relu)
         out_ok = self.out_activation in (None, nn.sigmoid, jax.nn.sigmoid)
-        # Fusing only pays off for deep/wide stacks: for small MLPs the
+        if self.fused and self.freq_encoding is not None:
+            # Fusing the encoding also saves the encoding's HBM round-trip,
+            # which pays off at any MLP size (measured on v5e).
+            return relu_ok and out_ok
+        # Plain fusing only pays off for deep/wide stacks: for small MLPs the
         # per-grid-step overhead exceeds the saved activation traffic and
         # XLA's batched matmuls win (measured on v5e).
         big_enough = self.layer_width >= 128 and self.num_layers >= 4
         return self.fused and relu_ok and out_ok and big_enough
 
+    def _enc_dim(self) -> int:
+        nf, _, _, include_input = self.freq_encoding
+        return 3 * nf * 2 + (3 if include_input else 0)
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        in_tensor = x = x.astype(self.compute_dtype)
+        use_fused = self._fusable()
+        in_kernel_enc = use_fused and self.freq_encoding is not None
+        if in_kernel_enc:
+            # raw coords stay f32; the kernel encodes then runs in bf16
+            x = x.astype(jnp.float32)
+        else:
+            if self.freq_encoding is not None:
+                # unfusable config (e.g. non-relu): same math outside the
+                # kernel so params/behavior stay identical
+                from nerfstudio_thermal_tpu.ops.encodings import NeRFEncoding
+
+                nf, mn, mx, inc = self.freq_encoding
+                x = NeRFEncoding(
+                    in_dim=3, num_frequencies=nf, min_freq_exp=mn,
+                    max_freq_exp=mx, include_input=inc,
+                )(x.astype(jnp.float32))
+            x = x.astype(self.compute_dtype)
+        in_tensor = x
         skips = set(self.skip_connections)
         num_linears = 1 if self.num_layers == 1 else self.num_layers
 
-        if self._fusable():
+        if use_fused:
             from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_mlp
 
-            in_dim = x.shape[-1]
+            in_dim = self._enc_dim() if in_kernel_enc else x.shape[-1]
             weights, biases = [], []
             prev = in_dim
             for i in range(num_linears):
@@ -79,7 +109,7 @@ class MLP(nn.Module):
                 prev = width
             out_act = "sigmoid" if self.out_activation is not None else None
             return fused_mlp(
-                x.reshape(-1, in_dim),
+                x.reshape(-1, x.shape[-1]),
                 tuple(weights),
                 tuple(biases),
                 "relu",
@@ -87,6 +117,8 @@ class MLP(nn.Module):
                 self.fused_block_size,
                 jax.default_backend() == "cpu",
                 tuple(sorted(skips)),
+                self.freq_encoding if in_kernel_enc else None,
+                jnp.dtype(self.compute_dtype).name,
             ).reshape(*x.shape[:-1], self.out_dim)
 
         for i in range(num_linears):

@@ -22,8 +22,50 @@ from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _freq_matrix(in_dim: int, num_freqs: int, min_exp: float, max_exp: float):
+    """[in_dim, in_dim * F] selector: pre[n, d*F+k] = 2*pi*2^e_k * x[n, d].
+
+    Expressing the frequency expansion as a matmul keeps the encoding on the
+    MXU inside the kernel (a [blk,3]x[3,3F] dot is free) instead of a lane-1
+    broadcast chain on the VPU. Semantics match ops.encodings.NeRFEncoding.
+    Built from iotas (Pallas kernels cannot capture array constants).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (in_dim, in_dim * num_freqs), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (in_dim, in_dim * num_freqs), 1)
+    k = cols % num_freqs
+    exps = min_exp + (max_exp - min_exp) * k.astype(jnp.float32) / max(
+        num_freqs - 1, 1
+    )
+    freq = 2.0 * jnp.pi * jnp.exp2(exps)
+    return jnp.where(cols // num_freqs == rows, freq, 0.0)
+
+
+def _encode(x_f32, freq_encoding, in_dim):
+    """In-kernel NeRF frequency encoding: [sin(pre), cos(pre) (, x)]."""
+    num_freqs, min_exp, max_exp, include_input = freq_encoding
+    e = jnp.asarray(_freq_matrix(in_dim, num_freqs, min_exp, max_exp))
+    pre = jnp.dot(x_f32, e, preferred_element_type=jnp.float32)
+    parts = [jnp.sin(pre), jnp.cos(pre)]
+    if include_input:
+        parts.append(x_f32)
+    return jnp.concatenate(parts, axis=-1), pre
+
+
+def _encode_bwd(x_f32, pre, d_enc, freq_encoding, in_dim):
+    """d_enc [blk, enc_dim] -> d_x [blk, in_dim]."""
+    num_freqs, min_exp, max_exp, include_input = freq_encoding
+    nf = in_dim * num_freqs
+    e = jnp.asarray(_freq_matrix(in_dim, num_freqs, min_exp, max_exp))
+    d_pre = d_enc[:, :nf] * jnp.cos(pre) - d_enc[:, nf : 2 * nf] * jnp.sin(pre)
+    dx = jnp.dot(d_pre, e.T, preferred_element_type=jnp.float32)
+    if include_input:
+        dx = dx + d_enc[:, 2 * nf :]
+    return dx
 
 
 def _round_up(x: int, m: int) -> int:
@@ -40,13 +82,18 @@ def _apply_act(h, name: Optional[str]):
     raise ValueError(f"unsupported activation {name}")
 
 
-def _fwd_kernel(num_layers, activation, out_activation, skips, refs):
+def _fwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, refs):
     x_ref = refs[0]
     w_refs = refs[1 : 1 + num_layers]
     b_refs = refs[1 + num_layers : 1 + 2 * num_layers]
     out_ref = refs[1 + 2 * num_layers]
 
-    x0 = x_ref[:]
+    cdt = w_refs[0].dtype
+    if freq_encoding is not None:
+        enc, _ = _encode(x_ref[:].astype(jnp.float32), freq_encoding, x_ref.shape[-1])
+        x0 = enc.astype(cdt)
+    else:
+        x0 = x_ref[:].astype(cdt)
     h = x0
     for li in range(num_layers):
         if li in skips and li != 0:
@@ -59,11 +106,11 @@ def _fwd_kernel(num_layers, activation, out_activation, skips, refs):
             h = _apply_act(h, activation)
         else:
             h = _apply_act(h, out_activation)
-        h = h.astype(x_ref.dtype)
-    out_ref[:] = h
+        h = h.astype(cdt)
+    out_ref[:] = h.astype(out_ref.dtype)
 
 
-def _bwd_kernel(num_layers, activation, out_activation, skips, refs):
+def _bwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, refs):
     # refs = inputs (x, g, w0..wn, b0..bn) then outputs (dx, dw0..n, db0..n)
     n = num_layers
     x_ref = refs[0]
@@ -84,7 +131,13 @@ def _bwd_kernel(num_layers, activation, out_activation, skips, refs):
 
     # Recompute forward, storing only bf16 post-activations (the relu mask is
     # recoverable as h > 0; keeping f32 pre-activations would overflow VMEM).
-    x0 = x_ref[:]
+    cdt = w_refs[0].dtype
+    if freq_encoding is not None:
+        raw = x_ref[:].astype(jnp.float32)
+        enc, pre_enc = _encode(raw, freq_encoding, x_ref.shape[-1])
+        x0 = enc.astype(cdt)
+    else:
+        x0 = x_ref[:].astype(cdt)
     in_dim = x0.shape[-1]
     h = x0
     post_acts = []  # activated output of each layer, compute dtype
@@ -97,10 +150,10 @@ def _bwd_kernel(num_layers, activation, out_activation, skips, refs):
             + b_refs[li][:].astype(jnp.float32)
         )
         if li < num_layers - 1:
-            h = _apply_act(pre, activation).astype(x_ref.dtype)
+            h = _apply_act(pre, activation).astype(cdt)
         else:
             final_pre = pre
-            h = _apply_act(pre, out_activation).astype(x_ref.dtype)
+            h = _apply_act(pre, out_activation).astype(cdt)
         post_acts.append(h)
 
     def layer_input(li):
@@ -119,8 +172,8 @@ def _bwd_kernel(num_layers, activation, out_activation, skips, refs):
         if li < num_layers - 1 and activation == "relu":
             # f32 compare: sub-word comparisons are unsupported by Mosaic
             dh = dh * (post_acts[li].astype(jnp.float32) > 0.0)
-        x_in = layer_input(li).astype(x_ref.dtype)
-        dhc = dh.astype(x_ref.dtype)
+        x_in = layer_input(li).astype(cdt)
+        dhc = dh.astype(cdt)
         dw_refs[li][:] += jnp.dot(
             x_in.T, dhc, preferred_element_type=jnp.float32
         )
@@ -132,6 +185,8 @@ def _bwd_kernel(num_layers, activation, out_activation, skips, refs):
             dh = dh[:, in_dim:]
         if li == 0:
             dx_accum = dx_accum + dh
+    if freq_encoding is not None:
+        dx_accum = _encode_bwd(raw, pre_enc, dx_accum, freq_encoding, x_ref.shape[-1])
     dx_ref[:] = dx_accum.astype(dx_ref.dtype)
 
 
@@ -144,7 +199,7 @@ def _pad_batch(x, blk):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
 )
 def fused_mlp(
     x: jax.Array,  # [N, in_dim]
@@ -155,21 +210,40 @@ def fused_mlp(
     block_size: int = 2048,
     interpret: bool = False,
     skip_connections: Tuple[int, ...] = (),
+    freq_encoding: Optional[Tuple[int, float, float, bool]] = None,
+    compute_dtype: Optional[str] = None,
 ) -> jax.Array:
     """Run the whole MLP stack in one Pallas kernel. Returns [N, out_dim].
 
     skip_connections: layer indices whose input is concat([x, h]) (classic
-    NeRF skip), matching ops.mlp.MLP semantics."""
+    NeRF skip), matching ops.mlp.MLP semantics.
+
+    freq_encoding: optional (num_frequencies, min_exp, max_exp,
+    include_input). When set, x is raw coordinates [N, in_dim] (keep them
+    f32!) and the NeRF frequency encoding (ops.encodings.NeRFEncoding
+    semantics) is computed inside the kernel — the tcnn
+    NetworkWithInputEncoding analogue (reference field_components/mlp.py:186):
+    the [N, enc_dim] encoding never exists in HBM, and skip connections
+    concatenate the encoding (matching the unfused path, whose MLP input is
+    the encoding)."""
     return _fused_mlp_fwd_impl(
         x, weights, biases, activation, out_activation, block_size, interpret,
-        skip_connections,
+        skip_connections, freq_encoding, compute_dtype,
     )
 
 
-def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_size, interpret, skips=()):
+def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_size, interpret, skips=(), freq_encoding=None, compute_dtype=None):
     num_layers = len(weights)
     out_dim = weights[-1].shape[-1]
-    dtype = x.dtype
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
+    # fwd VMEM: f32 pre-activations [blk, width] + bf16 h + encoding temps
+    width = max(w.shape[-1] for w in weights)
+    per_point = width * 6
+    if freq_encoding is not None:
+        per_point += 4 * 1024  # lane-padded f32 encoding temps (see bwd)
+    block_size = min(
+        block_size, max(512, (24 * 2**20) // max(per_point, 1) // 512 * 512)
+    )
     xp, n = _pad_batch(x, block_size)
     npad = xp.shape[0]
 
@@ -177,7 +251,10 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
     b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
 
     kernel = functools.partial(
-        lambda *refs: _fwd_kernel(num_layers, activation, out_activation, tuple(skips), refs)
+        lambda *refs: _fwd_kernel(
+            num_layers, activation, out_activation, tuple(skips),
+            freq_encoding, refs,
+        )
     )
     in_specs = [
         pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -199,42 +276,54 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
         ),
         out_shape=jax.ShapeDtypeStruct((npad, out_dim), dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(xp, *w_cast, *b_cast)
     return out[:n]
 
 
-def _fused_mlp_fwd(x, weights, biases, activation, out_activation, block_size, interpret, skip_connections=()):
+def _fused_mlp_fwd(x, weights, biases, activation, out_activation, block_size, interpret, skip_connections=(), freq_encoding=None, compute_dtype=None):
     out = _fused_mlp_fwd_impl(
         x, weights, biases, activation, out_activation, block_size, interpret,
-        skip_connections,
+        skip_connections, freq_encoding, compute_dtype,
     )
     return out, (x, weights, biases)
 
 
-def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_connections, res, g):
+def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_connections, freq_encoding, compute_dtype, res, g):
     x, weights, biases = res
     num_layers = len(weights)
-    dtype = x.dtype
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     # The bwd kernel holds per-layer activations in VMEM; shrink the block so
     # num_layers * block * width activations stay well under the 16 MB limit.
     width = max(w.shape[-1] for w in weights)
     act_bytes = 2 if dtype == jnp.bfloat16 else 4
-    # activations get ~3/8 of VMEM: weights + f32 dh/dw/dx + in/out blocks
-    # share the rest (measured: 6 MB fits for 8x256 stacks at block 1536)
-    budget = 6 * 1024 * 1024
+    per_point = num_layers * width * act_bytes
+    if freq_encoding is not None:
+        # In-kernel encoding recompute keeps ~a dozen [blk, <=128-lane] f32
+        # temps alive (raw, pre, sin, cos, d_enc slices, dx); every narrow
+        # vector pads its lane dim to 128, so the cost is ~flat in F
+        # (measured 4.8-7.8 KB/point on v5e for F=7..10).
+        per_point += 8 * 1024
+    # activations get ~1/3 of VMEM: weights + f32 dh/dw/dx + in/out blocks
+    # share the rest (measured: 5 MB fits for 8x256 stacks)
+    budget = 5 * 1024 * 1024
     block_size = min(
         block_size,
-        max(512, budget // max(num_layers * width * act_bytes, 1) // 512 * 512),
+        max(512, budget // max(per_point, 1) // 512 * 512),
     )
     xp, n = _pad_batch(x, block_size)
     gp, _ = _pad_batch(g.astype(dtype), block_size)
+    # dx has the raw-coordinate width when the encoding runs in-kernel
     npad = xp.shape[0]
 
     w_cast = [w.astype(dtype) for w in weights]
     b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
 
     kernel = functools.partial(
-        lambda *refs: _bwd_kernel(num_layers, activation, out_activation, tuple(skip_connections), refs)
+        lambda *refs: _bwd_kernel(
+            num_layers, activation, out_activation, tuple(skip_connections),
+            freq_encoding, refs,
+        )
     )
     in_specs = [
         pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -245,7 +334,8 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
     for b in b_cast:
         in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
 
-    out_shapes = [jax.ShapeDtypeStruct((npad, xp.shape[1]), dtype)]
+    dx_dtype = jnp.float32 if freq_encoding is not None else dtype
+    out_shapes = [jax.ShapeDtypeStruct((npad, xp.shape[1]), dx_dtype)]
     out_specs = [
         pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
     ]
@@ -265,6 +355,7 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
     )(xp, gp, *w_cast, *b_cast)
 
     dx = outs[0][:n].astype(x.dtype)
