@@ -71,6 +71,118 @@ def read_ply(path: Path) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     return points, colors
 
 
+def write_ply_mesh(
+    path: Path,
+    vertices: np.ndarray,  # [V, 3]
+    faces: np.ndarray,  # [F, 3] int
+    normals: Optional[np.ndarray] = None,  # [V, 3]
+    colors: Optional[np.ndarray] = None,  # [V, 3] in [0,1]
+) -> None:
+    """Binary little-endian PLY triangle mesh (vertex list + int32 face
+    list). Replaces the reference's pymeshlab writer
+    (reference exporter/tsdf_utils.py:144-173)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    nv, nf = vertices.shape[0], faces.shape[0]
+    header = ["ply", "format binary_little_endian 1.0", f"element vertex {nv}"]
+    header += [f"property float {a}" for a in "xyz"]
+    dtype = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    if normals is not None:
+        header += [f"property float n{a}" for a in "xyz"]
+        dtype += [("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4")]
+    if colors is not None:
+        header += ["property uchar red", "property uchar green", "property uchar blue"]
+        dtype += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    header += [
+        f"element face {nf}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+    vdata = np.empty(nv, dtype=dtype)
+    vdata["x"], vdata["y"], vdata["z"] = vertices[:, 0], vertices[:, 1], vertices[:, 2]
+    if normals is not None:
+        vdata["nx"], vdata["ny"], vdata["nz"] = (
+            normals[:, 0], normals[:, 1], normals[:, 2],
+        )
+    if colors is not None:
+        c = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+        vdata["red"], vdata["green"], vdata["blue"] = c[:, 0], c[:, 1], c[:, 2]
+    fdata = np.empty(nf, dtype=[("n", "u1"), ("idx", "<i4", (3,))])
+    fdata["n"] = 3
+    fdata["idx"] = faces.astype(np.int32)
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        f.write(vdata.tobytes())
+        f.write(fdata.tobytes())
+
+
+def read_ply_mesh(path: Path) -> Tuple[np.ndarray, np.ndarray]:
+    """Read back a mesh written by write_ply_mesh (tests/round-trips).
+    Returns (vertices [V,3], faces [F,3])."""
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode().strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        nv = int(next(l for l in header if l.startswith("element vertex")).split()[-1])
+        nf = int(next(l for l in header if l.startswith("element face")).split()[-1])
+        props = [
+            l.split()[1:]
+            for l in header[header.index(f"element vertex {nv}") + 1 :]
+            if l.startswith("property") and not l.startswith("property list")
+        ]
+        vdtype = [
+            (name, "<f4" if typ == "float" else "u1") for typ, name in props
+        ]
+        vdata = np.frombuffer(f.read(np.dtype(vdtype).itemsize * nv), dtype=vdtype)
+        fdata = np.frombuffer(
+            f.read(), dtype=[("n", "u1"), ("idx", "<i4", (3,))], count=nf
+        )
+    verts = np.stack([vdata["x"], vdata["y"], vdata["z"]], -1)
+    return verts, np.asarray(fdata["idx"])
+
+
+def render_cameras_for_export(
+    model,
+    params,
+    cameras,
+    rgb_output_name: str = "rgb",
+    depth_output_name: str = "depth",
+    downscale_factor: int = 2,
+    num_cameras: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Render every camera at reduced resolution for volumetric fusion
+    (reference exporter_utils.py `render_trajectory` + tsdf_utils :326-346).
+    Returns (rgbs: list of [H,W,3], depths: list of [H,W], c2ws [B,4,4],
+    Ks [B,3,3]) — lists because cameras may have per-modality resolutions
+    (RGB vs thermal)."""
+    cams = cameras.rescale_output_resolution(1.0 / downscale_factor)
+    n = min(num_cameras or len(cams), len(cams))
+    rgbs, depths, c2ws, Ks = [], [], [], []
+    for i in range(n):
+        outputs = model.get_outputs_for_camera(params, cams, i)
+        rgb = outputs[rgb_output_name]
+        if rgb.shape[-1] == 1:
+            rgb = np.repeat(rgb, 3, -1)
+        rgbs.append(rgb[..., :3])
+        depths.append(outputs[depth_output_name][..., 0])
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3] = np.asarray(cams.camera_to_worlds[i])
+        c2ws.append(c2w)
+        K = np.array(
+            [
+                [float(cams.fx[i]), 0, float(cams.cx[i])],
+                [0, float(cams.fy[i]), float(cams.cy[i])],
+                [0, 0, 1],
+            ],
+            np.float32,
+        )
+        Ks.append(K)
+    return rgbs, depths, np.stack(c2ws), np.stack(Ks)
+
+
 def generate_point_cloud(
     model,
     params,
@@ -79,10 +191,17 @@ def generate_point_cloud(
     min_accumulation: float = 0.5,
     use_thermal_color: bool = False,
     stride: int = 4,
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_normals: bool = False,
+):
     """Backproject expected depth from eval cameras into a colored point
-    cloud. Returns (points [N,3], colors [N,3])."""
-    points_all, colors_all = [], []
+    cloud. Returns (points [N,3], colors [N,3]) or, with
+    return_normals=True, (points, colors, normals) where normals come from
+    the cross product of the point map's image-space gradients, oriented
+    toward the camera (the reference's `normal_method="model_output"`
+    needs a normal-predicting field; depth-derived normals serve the same
+    role for fields that don't predict them, reference
+    scripts/exporter.py:99-127)."""
+    points_all, colors_all, normals_all = [], [], []
     n = num_cameras if num_cameras is not None else len(cameras)
     for i in range(min(n, len(cameras))):
         outputs = model.get_outputs_for_camera(params, cameras, i)
@@ -117,4 +236,20 @@ def generate_point_cloud(
         mask = acc > min_accumulation
         points_all.append(pts[mask])
         colors_all.append(rgb[mask])
+        if return_normals:
+            du = np.gradient(pts, axis=1)
+            dv = np.gradient(pts, axis=0)
+            n = np.cross(du, dv)
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+            # orient toward the camera
+            to_cam = origin - pts
+            sign = np.sign(np.sum(n * to_cam, axis=-1, keepdims=True))
+            n = n * np.where(sign == 0, 1.0, sign)
+            normals_all.append(n[mask])
+    if return_normals:
+        return (
+            np.concatenate(points_all),
+            np.concatenate(colors_all),
+            np.concatenate(normals_all),
+        )
     return np.concatenate(points_all), np.concatenate(colors_all)

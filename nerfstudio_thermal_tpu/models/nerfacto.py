@@ -234,6 +234,14 @@ class NerfactoModel(Model):
             fns.append(fn)
         return fns
 
+    def density_fn(self, params, positions: jax.Array) -> jax.Array:
+        """Field density at world positions [..., 3] -> [..., 1] (used by the
+        marching-cubes/texture exporters; reference exposes this through
+        `Field.density_fn`)."""
+        return self.field.apply(
+            {"params": params["fields"]}, positions, method=self.field.density_fn
+        )
+
     def _apply_camera_opt(self, params, bundle: RayBundle, name: str, opt) -> RayBundle:
         if opt.mode == "off" or name not in params:
             return bundle

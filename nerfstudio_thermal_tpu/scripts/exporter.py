@@ -1,8 +1,11 @@
-"""ns-export: export point clouds / cameras from a trained run.
+"""ns-export: export point clouds / meshes / cameras from a trained run.
 
-Behavioral spec: reference `nerfstudio/scripts/exporter.py` (pointcloud /
-cameras subcommands; tsdf/poisson/marching-cubes require mesh libs absent
-from this image and report so).
+Behavioral spec: reference `nerfstudio/scripts/exporter.py` — pointcloud
+(:90-185), tsdf (:188-258), poisson (:261-383), marching-cubes (:386-449),
+cameras (:452-477). The reference leans on open3d/pymeshlab/skimage; here the
+meshing stack is self-contained (exporter/marching_cubes.py tetrahedral
+extractor, exporter/tsdf_utils.py JAX fusion, exporter/poisson.py FFT Poisson
+solve, exporter/texture_utils.py baking).
 """
 
 import json
@@ -16,9 +19,19 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: ns-export {pointcloud|cameras} --load-config CONFIG.yml "
-            "--output-dir DIR [--num-points N] [--min-accumulation X] "
-            "[--use-thermal-color true]"
+            "usage: ns-export "
+            "{pointcloud|tsdf|poisson|marching-cubes|texture|cameras} "
+            "--load-config CONFIG.yml --output-dir DIR\n"
+            "  pointcloud: [--num-points N] [--min-accumulation X] "
+            "[--use-thermal-color true] [--stride K]\n"
+            "  tsdf: [--resolution R] [--downscale-factor K] "
+            "[--bounding-box-min x,y,z] [--bounding-box-max x,y,z]\n"
+            "  poisson: [--resolution R] [--num-points N] "
+            "[--min-accumulation X]\n"
+            "  marching-cubes: [--resolution R] [--isosurface-threshold T] "
+            "[--bounding-box-min x,y,z] [--bounding-box-max x,y,z]\n"
+            "  texture: [--resolution R] [--px-per-uv-triangle P] "
+            "[--isosurface-threshold T]"
         )
         return 0
     mode = argv[0]
@@ -28,6 +41,13 @@ def main(argv=None) -> int:
         "min_accumulation": 0.5,
         "use_thermal_color": False,
         "stride": 4,
+        "resolution": None,
+        "downscale_factor": 2,
+        "isosurface_threshold": None,
+        "num_points": None,
+        "px_per_uv_triangle": 8,
+        "bounding_box_min": (-1.0, -1.0, -1.0),
+        "bounding_box_max": (1.0, 1.0, 1.0),
     }
     i = 1
     while i < len(argv):
@@ -37,16 +57,17 @@ def main(argv=None) -> int:
         i += 1 if "=" in tok else 2
         if "=" in tok:
             key = key.split("=")[0]
-        if key == "load_config":
+        if key in ("load_config", "output_dir"):
             opts[key] = Path(val)
-        elif key == "output_dir":
-            opts[key] = Path(val)
-        elif key in ("min_accumulation",):
+        elif key in ("min_accumulation", "isosurface_threshold"):
             opts[key] = float(val)
-        elif key in ("stride",):
+        elif key in ("stride", "resolution", "downscale_factor",
+                     "num_points", "px_per_uv_triangle"):
             opts[key] = int(val)
         elif key == "use_thermal_color":
             opts[key] = val.lower() in ("1", "true", "yes")
+        elif key in ("bounding_box_min", "bounding_box_max"):
+            opts[key] = tuple(float(x) for x in val.split(","))
         else:
             print(f"error: unknown flag --{key}", file=sys.stderr)
             return 2
@@ -97,11 +118,98 @@ def main(argv=None) -> int:
         print(f"wrote {len(points)} points to {out_dir / 'point_cloud.ply'}")
         return 0
 
-    if mode in ("tsdf", "poisson", "marching-cubes", "gaussian-splat"):
+    model = trainer.pipeline.model
+
+    if mode == "tsdf":
+        from nerfstudio_thermal_tpu.exporter.tsdf_utils import export_tsdf_mesh
+
+        out = export_tsdf_mesh(
+            model, params, trainer.datamanager.train_cameras, out_dir,
+            downscale_factor=opts["downscale_factor"],
+            resolution=opts["resolution"] or 128,
+            bounding_box_min=opts["bounding_box_min"],
+            bounding_box_max=opts["bounding_box_max"],
+        )
+        print(f"wrote {out}")
+        return 0
+
+    if mode == "poisson":
+        from nerfstudio_thermal_tpu.exporter.poisson import export_poisson_mesh
+
+        out = export_poisson_mesh(
+            model, params, trainer.datamanager.eval_cameras, out_dir,
+            num_points=opts["num_points"] or 500000,
+            resolution=opts["resolution"] or 128,
+            min_accumulation=opts["min_accumulation"],
+            stride=opts["stride"],
+        )
+        print(f"wrote {out}")
+        return 0
+
+    if mode in ("marching-cubes", "texture"):
+        from nerfstudio_thermal_tpu.exporter.exporter_utils import write_ply_mesh
+        from nerfstudio_thermal_tpu.exporter.marching_cubes import (
+            generate_mesh_with_multires_marching_cubes,
+        )
+
+        # SDF-family models expose sdf_fn; density models mesh a density
+        # level set (reference ExportMarchingCubesMesh targets SDF fields,
+        # scripts/exporter.py:408-449)
+        if hasattr(model, "sdf_fn"):
+            fn = lambda pts: np.asarray(model.sdf_fn(params, pts)).reshape(-1)
+            level = opts["isosurface_threshold"] or 0.0
+        else:
+            import jax.numpy as jnp
+
+            def fn(pts):
+                d = model.density_fn(params, jnp.asarray(pts, jnp.float32))
+                return -np.asarray(d).reshape(-1)  # negative: inside < level
+
+            level = -(opts["isosurface_threshold"] or 15.0)
+        verts, faces, normals = generate_mesh_with_multires_marching_cubes(
+            fn,
+            resolution=opts["resolution"] or 128,
+            bounding_box_min=opts["bounding_box_min"],
+            bounding_box_max=opts["bounding_box_max"],
+            isosurface_threshold=level,
+        )
+        if len(faces) == 0:
+            # threshold missed the field's range: fall back to the median
+            # level so an isosurface always exists
+            from nerfstudio_thermal_tpu.exporter.marching_cubes import (
+                evaluate_sdf_grid, marching_cubes as _mc,
+            )
+
+            grid, origin, spacing = evaluate_sdf_grid(
+                fn, opts["resolution"] or 128,
+                opts["bounding_box_min"], opts["bounding_box_max"],
+            )
+            level = float(np.median(grid))
+            print(f"threshold produced an empty mesh; retrying at the "
+                  f"median field value {level:.4f}")
+            verts, faces, normals = _mc(
+                grid, level=level, origin=origin, spacing=spacing,
+                gradient_direction="ascent",
+            )
+        if mode == "marching-cubes":
+            out = out_dir / "sdf_marching_cubes_mesh.ply"
+            write_ply_mesh(out, verts, faces, normals=normals)
+            print(f"wrote {out} ({len(verts)} verts, {len(faces)} faces)")
+            return 0
+        from nerfstudio_thermal_tpu.exporter.texture_utils import (
+            export_textured_mesh,
+        )
+
+        out = export_textured_mesh(
+            model, params, verts, faces, out_dir,
+            px_per_uv_triangle=opts["px_per_uv_triangle"],
+        )
+        print(f"wrote {out}")
+        return 0
+
+    if mode == "gaussian-splat":
         print(
-            f"error: '{mode}' export requires mesh libraries not present in "
-            "this environment (open3d/trimesh); pointcloud and cameras are "
-            "available.",
+            "error: 'gaussian-splat' export requires a splatfacto model",
             file=sys.stderr,
         )
         return 2
