@@ -296,8 +296,94 @@ def make_tensorf() -> MethodConfig:
     )
 
 
+def make_neus() -> MethodConfig:
+    """(reference method_configs.py:576-605)."""
+    from nerfstudio_thermal_tpu.engine.schedulers import CosineDecaySchedulerConfig
+    from nerfstudio_thermal_tpu.models.neus import NeuSModelConfig
+
+    def _opt():
+        return OptimizerGroupConfig(
+            optimizer=AdamOptimizerConfig(lr=5e-4, eps=1e-15),
+            scheduler=CosineDecaySchedulerConfig(
+                warm_up_end=5000, learning_rate_alpha=0.05, max_steps=300000
+            ),
+        )
+
+    return MethodConfig(
+        method_name="neus",
+        description="NeuS: neural implicit surfaces by volume rendering. (slow)",
+        trainer=TrainerConfig(
+            max_num_iterations=100000, steps_per_eval_batch=5000,
+            steps_per_save=20000, steps_per_eval_image=500,
+            steps_per_eval_all_images=0, mixed_precision=False,
+            method_name="neus",
+        ),
+        dataparser=NerfstudioDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=1024, eval_num_rays_per_batch=1024
+        ),
+        model=NeuSModelConfig(eval_num_rays_per_chunk=1024),
+        optimizers={"fields": _opt(), "field_background": _opt()},
+    )
+
+
+def make_neus_facto() -> MethodConfig:
+    """(reference method_configs.py:607-651)."""
+    from nerfstudio_thermal_tpu.engine.schedulers import (
+        CosineDecaySchedulerConfig,
+        MultiStepSchedulerConfig,
+    )
+    from nerfstudio_thermal_tpu.models.neus_facto import NeuSFactoModelConfig
+
+    def _cos():
+        return OptimizerGroupConfig(
+            optimizer=AdamOptimizerConfig(lr=5e-4, eps=1e-15),
+            scheduler=CosineDecaySchedulerConfig(
+                warm_up_end=500, learning_rate_alpha=0.05, max_steps=20001
+            ),
+        )
+
+    return MethodConfig(
+        method_name="neus-facto",
+        description="NeuS-Facto: NeuS with proposal-network sampling. (slow)",
+        trainer=TrainerConfig(
+            max_num_iterations=20001, steps_per_eval_batch=5000,
+            steps_per_save=2000, steps_per_eval_image=5000,
+            steps_per_eval_all_images=0, mixed_precision=False,
+            method_name="neus-facto",
+        ),
+        dataparser=NerfstudioDataParserConfig(),
+        datamanager=VanillaDataManagerConfig(
+            train_num_rays_per_batch=2048, eval_num_rays_per_batch=2048
+        ),
+        model=NeuSFactoModelConfig(
+            # proposal sampling allows a much smaller sdf/color net
+            # (reference :633-642)
+            sdf_num_layers=2,
+            sdf_num_layers_color=2,
+            sdf_hidden_dim=256,
+            sdf_bias=0.5,
+            sdf_beta_init=0.8,
+            sdf_use_grid_feature=True,
+            background_model="none",
+            eval_num_rays_per_chunk=2048,
+        ),
+        optimizers={
+            "proposal_networks": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+                scheduler=MultiStepSchedulerConfig(
+                    max_steps=20001, milestones=(10000, 1500, 18000)
+                ),
+            ),
+            "fields": _cos(),
+        },
+    )
+
+
 register_method(make_depth_nerfacto())
 register_method(make_tensorf())
+register_method(make_neus())
+register_method(make_neus_facto())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -350,8 +436,17 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     )
 
     from nerfstudio_thermal_tpu.models.tensorf import TensoRFModel, TensoRFModelConfig
+    from nerfstudio_thermal_tpu.models.neus import NeuSModel, NeuSModelConfig
+    from nerfstudio_thermal_tpu.models.neus_facto import (
+        NeuSFactoModel,
+        NeuSFactoModelConfig,
+    )
 
-    if isinstance(config.model, TensoRFModelConfig):
+    if isinstance(config.model, NeuSFactoModelConfig):
+        model_cls = NeuSFactoModel
+    elif isinstance(config.model, NeuSModelConfig):
+        model_cls = NeuSModel
+    elif isinstance(config.model, TensoRFModelConfig):
         model_cls = TensoRFModel
     elif isinstance(config.model, InstantNGPModelConfig):
         model_cls = InstantNGPModel

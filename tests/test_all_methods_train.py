@@ -63,6 +63,10 @@ def shrink(cfg):
         ("num_uniform_samples", 8), ("num_samples", 4), ("resolution", 16),
         ("density_components", 4), ("color_components", 6), ("appearance_dim", 6),
         ("head_mlp_width", 8),
+        ("sdf_num_layers", 2), ("sdf_hidden_dim", 8), ("sdf_geo_feat_dim", 8),
+        ("sdf_num_layers_color", 2), ("sdf_hidden_dim_color", 8),
+        ("num_samples_importance", 4), ("num_up_sample_steps", 2),
+        ("num_samples_outside", 4), ("num_neus_samples_per_ray", 4),
     ):
         if hasattr(m, attr):
             setattr(m, attr, val)
