@@ -61,20 +61,25 @@ class CameraOptimizer(nn.Module):
         if self.mode == "off":
             return eye
         adj = self._adjustment()
+        # Exp maps are computed per CAMERA ([num_cameras, 6] -> [num_cameras,
+        # 3, 4]) and the resulting matrices gathered per ray — not per ray —
+        # so the trig/compose work (and its backward scatter) is O(cameras),
+        # not O(rays). Identical math to reference camera_optimizers.py:142-163.
         if self.mode == "SO3xR3":
-            out = exp_map_SO3xR3(adj[indices])
+            mats = exp_map_SO3xR3(adj)
         elif self.mode == "SE3":
-            out = exp_map_SE3(adj[indices])
+            mats = exp_map_SE3(adj)
         elif self.mode == "shared_SO3xR3":
-            out = jnp.broadcast_to(exp_map_SO3xR3(adj)[0], (*indices.shape, 3, 4))
+            return jnp.broadcast_to(exp_map_SO3xR3(adj)[0], (*indices.shape, 3, 4))
         else:
             raise ValueError(f"unknown camera optimizer mode {self.mode}")
 
         if self.non_trainable_camera_indices:
             mask = jnp.zeros((self.num_cameras,), bool)
             mask = mask.at[jnp.asarray(self.non_trainable_camera_indices)].set(True)
-            out = jnp.where(mask[indices][..., None, None], eye, out)
-        return out
+            eye_cam = jnp.broadcast_to(jnp.eye(4)[:3, :4], mats.shape)
+            mats = jnp.where(mask[:, None, None], eye_cam, mats)
+        return mats[indices]
 
     def apply_to_raybundle(self, bundle: RayBundle) -> RayBundle:
         """Return a new bundle with corrected origins/directions

@@ -20,11 +20,23 @@ from nerfstudio_thermal_tpu.data.dataparsers.minimal_dataparser import (
     MinimalDataParser,
     MinimalDataParserConfig,
 )
+from nerfstudio_thermal_tpu.data.dataparsers.dnerf_dataparser import (
+    DNeRF,
+    DNeRFDataParserConfig,
+)
+from nerfstudio_thermal_tpu.data.dataparsers.instant_ngp_dataparser import (
+    InstantNGP,
+    InstantNGPDataParserConfig,
+)
 from nerfstudio_thermal_tpu.data.dataparsers.nerfstudio_dataparser import (
     Nerfstudio,
     NerfstudioDataParserConfig,
     ThermalNerf,
     ThermalNerfDataParserConfig,
+)
+from nerfstudio_thermal_tpu.data.dataparsers.sdfstudio_dataparser import (
+    SDFStudio,
+    SDFStudioDataParserConfig,
 )
 
 dataparser_configs: Dict[str, DataParserConfig] = {
@@ -33,6 +45,9 @@ dataparser_configs: Dict[str, DataParserConfig] = {
     "blender-data": BlenderDataParserConfig(),
     "colmap": ColmapDataParserConfig(),
     "minimal-parser": MinimalDataParserConfig(),
+    "instant-ngp-data": InstantNGPDataParserConfig(),
+    "dnerf-data": DNeRFDataParserConfig(),
+    "sdfstudio-data": SDFStudioDataParserConfig(),
 }
 
 DATAPARSER_CLASSES = {
@@ -41,6 +56,9 @@ DATAPARSER_CLASSES = {
     BlenderDataParserConfig: Blender,
     ColmapDataParserConfig: ColmapDataParser,
     MinimalDataParserConfig: MinimalDataParser,
+    InstantNGPDataParserConfig: InstantNGP,
+    DNeRFDataParserConfig: DNeRF,
+    SDFStudioDataParserConfig: SDFStudio,
 }
 
 

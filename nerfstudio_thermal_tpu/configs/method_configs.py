@@ -146,10 +146,16 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     cfg.model.field_encoding = "freq"
     cfg.model.proposal_net_args_list = copy.deepcopy(_FREQ_PROPOSAL_ARGS)
     cfg.model.compute_dtype = "bfloat16"
-    # Fused-MLP Pallas kernels (ops/pallas/fused_mlp.py) for the deep base
-    # MLPs; small MLPs stay on XLA (MLP._fusable heuristic) — measured
-    # 63k -> 71k rays/s.
-    cfg.model.use_pallas = True
+    # XLA beats the fused-MLP Pallas kernel on the current libtpu (measured:
+    # naked 8x256 fwd+bwd 5.5 ms XLA at 186 TFLOP/s vs 6.8 ms Pallas; whole
+    # step 131 ms XLA vs 201 ms Pallas — the kernel hurts most on the small
+    # 64-wide proposal MLPs). ops/pallas/fused_mlp.py remains available via
+    # use_pallas=True.
+    cfg.model.use_pallas = False
+    if hasattr(cfg.model, "density_loss_rays_fraction"):
+        # cross-spectral density regularizer on a 25% ray subsample
+        # (unbiased; saves ~28% of the step — see the config docstring)
+        cfg.model.density_loss_rays_fraction = 0.25
     return cfg
 
 

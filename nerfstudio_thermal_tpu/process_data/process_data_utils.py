@@ -102,6 +102,87 @@ def downscale_images(
             )
 
 
+def get_num_frames_in_video(video: Path) -> int:
+    """Frame count (reference process_data_utils.py:98-113 shells out to
+    ffprobe; this image has no ffmpeg, so cv2's demuxer is used)."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(video))
+    try:
+        return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    finally:
+        cap.release()
+
+
+def convert_video_to_images(
+    video_path: Path,
+    image_dir: Path,
+    num_frames_target: int,
+    num_downscales: int,
+    crop_factor: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0),
+    verbose: bool = False,
+    image_prefix: str = "frame_",
+    keep_image_dir: bool = False,
+) -> Tuple[List[str], int]:
+    """Extract ~num_frames_target evenly spaced frames from a video into
+    image_dir as {prefix}{i:05d}.png, plus downscale folders
+    (reference process_data_utils.py:116-219, ffmpeg select filter ->
+    cv2.VideoCapture here since ffmpeg is absent from this image)."""
+    import cv2
+
+    video_path = Path(video_path)
+    image_dir = Path(image_dir)
+    if not keep_image_dir:
+        for i in range(num_downscales + 1):
+            d = image_dir if i == 0 else Path(f"{image_dir}_{2**i}")
+            shutil.rmtree(d, ignore_errors=True)
+    image_dir.mkdir(parents=True, exist_ok=True)
+
+    for c in crop_factor:
+        if c < 0 or c > 1:
+            raise ValueError("crop factors must be in [0, 1]")
+    if not video_path.is_file():
+        raise FileNotFoundError(f"video does not exist: {video_path}")
+
+    num_frames = get_num_frames_in_video(video_path)
+    if num_frames == 0:
+        raise ValueError(f"video has no frames: {video_path}")
+    spacing = max(num_frames // max(num_frames_target, 1), 1)
+
+    cap = cv2.VideoCapture(str(video_path))
+    start = len(list_images(image_dir)) if keep_image_dir else 0
+    idx = 0
+    written = 0
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if idx % spacing == 0:
+                h, w = frame.shape[:2]
+                top, bottom, left, right = crop_factor
+                if crop_factor != (0.0, 0.0, 0.0, 0.0):
+                    frame = frame[
+                        int(top * h) : int(h - bottom * h),
+                        int(left * w) : int(w - right * w),
+                    ]
+                written += 1
+                cv2.imwrite(
+                    str(image_dir / f"{image_prefix}{start + written:05d}.png"),
+                    frame,
+                )
+            idx += 1
+    finally:
+        cap.release()
+
+    downscale_images(image_dir, num_downscales, verbose=verbose)
+    summary = [
+        f"Starting with {num_frames} video frames",
+        f"We extracted {written} images with prefix '{image_prefix}'",
+    ]
+    return summary, written
+
+
 def find_tool_feature_matcher_combination(sfm_tool, feature_type, matcher_type):
     """Resolve 'any' selections (reference :525-600, simplified: colmap with
     SIFT is the supported combination here; hloc is reported unavailable)."""

@@ -60,8 +60,9 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: ns-process-data {images|rgbt} --data PATH --output-dir PATH [flags]\n"
+            "usage: ns-process-data {images|video|rgbt} --data PATH --output-dir PATH [flags]\n"
             "  images: copy+downscale images, run COLMAP, write transforms.json\n"
+            "  video:  extract ~num-frames-target frames, then the images pipeline\n"
             "  rgbt:   FLIR extraction, circle-grid RGB<->thermal calibration,\n"
             "          COLMAP with fixed intrinsics, metric scale fix, RGBT transforms.json"
         )
@@ -74,6 +75,12 @@ def main(argv=None) -> int:
         )
 
         cls = ImagesToNerfstudioDataset
+    elif mode == "video":
+        from nerfstudio_thermal_tpu.process_data.video_to_nerfstudio_dataset import (
+            VideoToNerfstudioDataset,
+        )
+
+        cls = VideoToNerfstudioDataset
     elif mode == "rgbt":
         from nerfstudio_thermal_tpu.process_data.rgbt_to_nerfstudio_dataset import (
             RGBTToNerfstudioDataset,
