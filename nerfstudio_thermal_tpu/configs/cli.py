@@ -131,10 +131,19 @@ def apply_cli_overrides(config: Any, argv: List[str]) -> Tuple[Any, List[str]]:
 
 
 def print_config_help(config: Any, prefix: str = "") -> None:
+    """Enumerate EVERY addressable nested flag (the tyro-generated surface of
+    reference scripts/train.py:258-267), including dict groups such as
+    optimizers.<group>.optimizer.lr."""
     for f in dataclasses.fields(config):
         val = getattr(config, f.name)
         dotted = f"{prefix}{f.name}"
         if dataclasses.is_dataclass(val):
             print_config_help(val, prefix=dotted + ".")
-        elif not isinstance(val, dict):
-            print(f"  --{dotted.replace('_', '-')} (default: {val})")
+        elif isinstance(val, dict) and val and all(
+            dataclasses.is_dataclass(v) for v in val.values()
+        ):
+            for k, v in val.items():
+                print_config_help(v, prefix=f"{dotted}.{k}.")
+        else:
+            typ = getattr(f.type, "__name__", str(f.type))
+            print(f"  --{dotted.replace('_', '-')} {typ} (default: {val})")

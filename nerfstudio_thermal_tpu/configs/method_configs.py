@@ -386,10 +386,50 @@ def make_neus_facto() -> MethodConfig:
     )
 
 
+def make_splatfacto() -> MethodConfig:
+    """(reference method_configs.py:653-722): full-image batches, per-group
+    optimizers over the gaussian attributes."""
+    from nerfstudio_thermal_tpu.data.datamanagers import FullImageDatamanagerConfig
+    from nerfstudio_thermal_tpu.models.splatfacto import SplatfactoModelConfig
+
+    def _adam(lr, lr_final=None, max_steps=30000):
+        return OptimizerGroupConfig(
+            optimizer=AdamOptimizerConfig(lr=lr, eps=1e-15),
+            scheduler=(
+                ExponentialDecaySchedulerConfig(lr_final=lr_final, max_steps=max_steps)
+                if lr_final is not None
+                else None
+            ),
+        )
+
+    return MethodConfig(
+        method_name="splatfacto",
+        description="Gaussian Splatting model (TPU scan rasterizer).",
+        trainer=TrainerConfig(
+            max_num_iterations=30000, steps_per_eval_image=100,
+            steps_per_eval_batch=0, steps_per_save=2000,
+            steps_per_eval_all_images=1000, mixed_precision=False,
+            method_name="splatfacto",
+        ),
+        dataparser=NerfstudioDataParserConfig(),
+        datamanager=FullImageDatamanagerConfig(),
+        model=SplatfactoModelConfig(),
+        optimizers={
+            "xyz": _adam(1.6e-4, lr_final=1.6e-6, max_steps=30000),
+            "features_dc": _adam(0.0025),
+            "features_rest": _adam(0.0025 / 20),
+            "opacities": _adam(0.05),
+            "scales": _adam(0.005),
+            "quats": _adam(0.001),
+        },
+    )
+
+
 register_method(make_depth_nerfacto())
 register_method(make_tensorf())
 register_method(make_neus())
 register_method(make_neus_facto())
+register_method(make_splatfacto())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -417,14 +457,23 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
 
     dataparser = build_dataparser(config.dataparser)
 
-    from nerfstudio_thermal_tpu.data.datamanagers import VanillaDataManager
+    from nerfstudio_thermal_tpu.data.datamanagers import (
+        FullImageDatamanager,
+        FullImageDatamanagerConfig,
+        VanillaDataManager,
+    )
 
     # per-process seed offset so multihost workers sample different rays
     # (reference scripts/train.py:97)
     import jax as _jax
 
     config.datamanager.seed = config.datamanager.seed + 7919 * _jax.process_index()
-    datamanager = VanillaDataManager(config.datamanager, dataparser)
+    dm_cls = (
+        FullImageDatamanager
+        if isinstance(config.datamanager, FullImageDatamanagerConfig)
+        else VanillaDataManager
+    )
+    datamanager = dm_cls(config.datamanager, dataparser)
 
     metadata = dict(datamanager.train_dataparser_outputs.metadata)
     if "is_thermal" not in metadata:
@@ -448,7 +497,26 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
         NeuSFactoModelConfig,
     )
 
-    if isinstance(config.model, NeuSFactoModelConfig):
+    from nerfstudio_thermal_tpu.models.splatfacto import (
+        SplatfactoModel,
+        SplatfactoModelConfig,
+    )
+
+    if isinstance(config.model, SplatfactoModelConfig):
+        md = datamanager.train_dataparser_outputs.metadata
+        seed_points = None
+        if md.get("points3D_xyz") is not None:
+            seed_points = (md["points3D_xyz"], md.get("points3D_rgb"))
+        model = SplatfactoModel(
+            config.model,
+            scene_aabb=datamanager.train_dataparser_outputs.scene_box,
+            num_train_data=len(datamanager.train_dataset),
+            metadata=metadata,
+            seed_points=seed_points,
+        )
+        pipeline = VanillaPipeline(datamanager, model)
+        return Trainer(config.trainer, pipeline, config.optimizers, base_dir=base_dir)
+    elif isinstance(config.model, NeuSFactoModelConfig):
         model_cls = NeuSFactoModel
     elif isinstance(config.model, NeuSModelConfig):
         model_cls = NeuSModel

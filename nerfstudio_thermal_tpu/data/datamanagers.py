@@ -95,6 +95,62 @@ class VanillaDataManager:
         return len(self.train_dataset)
 
 
+@dataclass
+class FullImageDatamanagerConfig(VanillaDataManagerConfig):
+    """(reference data/datamanagers/full_images_datamanager.py:49-77)."""
+
+    cache_images_type: str = "uint8"  # uint8 | float32
+
+
+class FullImageDatamanager(VanillaDataManager):
+    """Whole-image batches for rasterization methods (splatfacto) —
+    reference `full_images_datamanager.py:80-502`. next_train returns one
+    full image + its camera index instead of a ray batch; images are cached
+    on first load."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._train_order = None
+        self._train_pos = 0
+        self._rng = np.random.default_rng(self.config.seed)
+        self._image_cache: Dict[Tuple[str, int], np.ndarray] = {}
+
+    def _cached_image(self, dataset, tag: str, idx: int) -> np.ndarray:
+        key = (tag, idx)
+        if key not in self._image_cache:
+            img = dataset.get_image(idx)
+            if self.config.cache_images_type == "uint8":
+                img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            self._image_cache[key] = img
+        img = self._image_cache[key]
+        if img.dtype == np.uint8:
+            return img.astype(np.float32) / 255.0
+        return img
+
+    def next_train(self, step: int) -> Dict[str, np.ndarray]:
+        """One random full image per step (random permutation epochs,
+        reference :395-410)."""
+        n = len(self.train_dataset)
+        if self._train_order is None or self._train_pos >= n:
+            self._train_order = self._rng.permutation(n)
+            self._train_pos = 0
+        idx = int(self._train_order[self._train_pos])
+        self._train_pos += 1
+        return {
+            "image": self._cached_image(self.train_dataset, "train", idx),
+            "camera_index": np.asarray(idx, np.int32),
+            "is_thermal": self.train_dataset.get_is_thermal(idx),
+        }
+
+    def next_eval(self, step: int) -> Dict[str, np.ndarray]:
+        idx = step % len(self.eval_dataset)
+        return {
+            "image": self._cached_image(self.eval_dataset, "eval", idx),
+            "camera_index": np.asarray(idx, np.int32),
+            "is_thermal": self.eval_dataset.get_is_thermal(idx),
+        }
+
+
 class PrefetchingDataManager(VanillaDataManager):
     """Host prefetch thread keeping a batch queue full
     (TPU analogue of reference parallel_datamanager.py:65-130)."""

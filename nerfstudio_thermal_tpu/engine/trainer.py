@@ -168,6 +168,9 @@ class Trainer:
         self._viewer.start(block=False)
 
     def _build_train_step(self):
+        if getattr(self.model, "is_rasterization", False):
+            self._build_image_train_step()
+            return
         model = self.model
         cfg = model.config
         tx = self.tx
@@ -250,15 +253,88 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+    def _build_image_train_step(self):
+        """Whole-image train step for rasterization models (splatfacto): the
+        batch is one full image + camera index, replicated over the mesh
+        (gaussian splatting is data-parallel over images, not rays)."""
+        model = self.model
+        tx = self.tx
+        replicated = mesh_lib.replicated_sharding(self.mesh)
+        cameras = jax.tree.map(jnp.asarray, self.datamanager.train_cameras)
+        H = int(self.datamanager.train_cameras.height[0])
+        W = int(self.datamanager.train_cameras.width[0])
+
+        def train_step(state: TrainState, batch):
+            rng, key_model, key_loss = jax.random.split(state.rng, 3)
+            step = state.step
+            extra = model.update_extra_state(state.params, state.extra, step, rng)
+
+            def loss_fn(params):
+                outputs = model.render_camera(
+                    params, cameras, batch["camera_index"],
+                    alive=extra["alive"], train=True, rng=key_model,
+                    width=W, height=H,
+                )
+                metrics = model.get_metrics_dict(params, outputs, batch, train=True)
+                loss_dict = model.get_loss_dict(
+                    params, outputs, batch, metrics, train=True, rng=key_loss
+                )
+                total = sum(jax.tree.leaves(loss_dict))
+                return total, (loss_dict, metrics, outputs["radii"])
+
+            (loss, (loss_dict, metrics, radii)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            extra = model.track_refinement_stats(extra, grads, {"radii": radii})
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params, opt_state=new_opt_state, step=step + 1,
+                rng=rng, extra=extra,
+            )
+            return new_state, {"loss": loss, **loss_dict, **metrics}
+
+        self._train_step_jit = jax.jit(
+            train_step,
+            in_shardings=(replicated, replicated),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+        self._image_batch = True
+
     # ------------------------------------------------------------------
 
     def train_iteration(self, step: int):
         batch = self.datamanager.next_train(step)
-        device_batch = mesh_lib.shard_batch(
-            {k: np.asarray(v) for k, v in batch.items()}, self.mesh
-        )
+        if getattr(self, "_image_batch", False):
+            device_batch = jax.device_put(
+                {k: np.asarray(v) for k, v in batch.items()},
+                mesh_lib.replicated_sharding(self.mesh),
+            )
+        else:
+            device_batch = mesh_lib.shard_batch(
+                {k: np.asarray(v) for k, v in batch.items()}, self.mesh
+            )
         self.state, scalars = self._train_step_jit(self.state, device_batch)
+        self._maybe_refine(step)
         return scalars
+
+    def _maybe_refine(self, step: int):
+        """Host-side gaussian refinement (splatfacto densify/cull)."""
+        model = self.model
+        if not hasattr(model, "wants_host_refinement"):
+            return
+        if not model.wants_host_refinement(step):
+            return
+        # caller (train loop) already holds train_lock
+        params, opt_state, extra = model.refine_host(
+            self.state.params, self.state.opt_state, self.state.extra, step
+        )
+        new_state = self.state.replace(
+            params=params, opt_state=opt_state, extra=extra
+        )
+        self.state = mesh_lib.replicate(new_state, self.mesh)
+        model._host_alive = np.asarray(extra["alive"])
 
     def train(self):
         self.writer.console_log(0, {})
@@ -287,9 +363,17 @@ class Trainer:
                 self.writer.write_scalar_dict(scalars, step, group="train")
                 self.writer.console_log(step, scalars)
 
-            if step > 0 and step % self.config.steps_per_eval_batch == 0:
+            if (
+                self.config.steps_per_eval_batch > 0
+                and step > 0
+                and step % self.config.steps_per_eval_batch == 0
+            ):
                 self.eval_batch_iteration(step)
-            if step > 0 and step % self.config.steps_per_eval_image == 0:
+            if (
+                self.config.steps_per_eval_image > 0
+                and step > 0
+                and step % self.config.steps_per_eval_image == 0
+            ):
                 self.eval_iteration(step)
             if (
                 self.config.steps_per_eval_all_images > 0
@@ -306,6 +390,8 @@ class Trainer:
 
     def eval_batch_iteration(self, step: int):
         """Eval-ray-batch losses (reference trainer.py:501-517)."""
+        if getattr(self.model, "is_rasterization", False):
+            return  # rasterization models eval on full images only
         try:
             batch = self.datamanager.next_eval(step)
             device_batch = mesh_lib.shard_batch(

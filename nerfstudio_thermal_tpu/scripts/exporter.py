@@ -208,11 +208,56 @@ def main(argv=None) -> int:
         return 0
 
     if mode == "gaussian-splat":
-        print(
-            "error: 'gaussian-splat' export requires a splatfacto model",
-            file=sys.stderr,
+        from nerfstudio_thermal_tpu.models.splatfacto import SplatfactoModel
+
+        if not isinstance(model, SplatfactoModel):
+            print(
+                "error: 'gaussian-splat' export requires a splatfacto model",
+                file=sys.stderr,
+            )
+            return 2
+        # 3DGS-convention PLY (reference scripts/exporter.py:480-546):
+        # x y z nx ny nz f_dc_* f_rest_* opacity scale_* rot_*
+        p = trainer.host_params()
+        alive = (
+            np.asarray(model._host_alive)
+            if getattr(model, "_host_alive", None) is not None
+            else np.ones(len(p["xyz"]), bool)
         )
-        return 2
+        pos = np.asarray(p["xyz"])[alive]
+        dc = np.asarray(p["features_dc"])[alive]  # [n, 3]
+        rest = np.asarray(p["features_rest"])[alive]  # [n, B-1, 3]
+        n = len(pos)
+        # Inria ordering: f_rest grouped channel-major (transpose(1, 2))
+        rest = rest.transpose(0, 2, 1).reshape(n, -1)
+        cols = {"x": pos[:, 0], "y": pos[:, 1], "z": pos[:, 2]}
+        for a in "xyz":
+            cols[f"n{a}"] = np.zeros(n, np.float32)
+        for i in range(3):
+            cols[f"f_dc_{i}"] = dc[:, i]
+        for i in range(rest.shape[1]):
+            cols[f"f_rest_{i}"] = rest[:, i]
+        cols["opacity"] = np.asarray(p["opacities"])[alive]
+        for i in range(3):
+            cols[f"scale_{i}"] = np.asarray(p["scales"])[alive][:, i]
+        for i in range(4):
+            cols[f"rot_{i}"] = np.asarray(p["quats"])[alive][:, i]
+        finite = np.ones(n, bool)
+        for v in cols.values():
+            finite &= np.isfinite(v)
+        header = ["ply", "format binary_little_endian 1.0",
+                  f"element vertex {int(finite.sum())}"]
+        header += [f"property float {k}" for k in cols]
+        header.append("end_header")
+        data = np.empty(int(finite.sum()), dtype=[(k, "<f4") for k in cols])
+        for k, v in cols.items():
+            data[k] = v[finite].astype(np.float32)
+        out = out_dir / "splat.ply"
+        with open(out, "wb") as f:
+            f.write(("\n".join(header) + "\n").encode())
+            f.write(data.tobytes())
+        print(f"wrote {out} ({int(finite.sum())} gaussians)")
+        return 0
 
     print(f"error: unknown export mode '{mode}'", file=sys.stderr)
     return 2

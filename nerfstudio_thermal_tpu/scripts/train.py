@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     config = get_method_config(method)
 
     rest = argv[1:]
+    if "-h" in rest or "--help" in rest or "--help-flags" in rest:
+        # per-method full nested flag surface (tyro-equivalent help,
+        # reference scripts/train.py:258-267)
+        print(f"usage: ns-train {method} --data PATH [--<config.path> VALUE ...]")
+        print(f"\n{descriptions.get(method, '')}\n\nflags:")
+        print_config_help(config)
+        print("\n(reference-style --pipeline.model.X aliases also accepted)")
+        return 0
     # top-level conveniences mapped into the tree
     mapped = []
     i = 0
@@ -66,10 +74,6 @@ def main(argv=None) -> int:
             continue
         mapped.append(tok)
         i += 1
-
-    if "--help-flags" in mapped:
-        print_config_help(config)
-        return 0
 
     try:
         config, positionals = apply_cli_overrides(config, mapped)

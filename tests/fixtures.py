@@ -74,3 +74,66 @@ def make_synthetic_rgbt_dataset(
 
     (root / "transforms.json").write_text(json.dumps({"frames": frames}, indent=1))
     return root
+
+
+def make_consistent_rgbt_dataset(
+    root: Path, num_pairs: int = 8, rgb_hw=(24, 24), t_hw=(20, 20), radius=0.5
+) -> Path:
+    """A 3D-CONSISTENT synthetic scene (ray-traced colored sphere on a dark
+    background; thermal = a distinct surface pattern) so convergence tests can
+    assert the model actually learns geometry + appearance, not just fit
+    view-dependent noise."""
+    from PIL import Image
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    (root / "images_thermal").mkdir(parents=True, exist_ok=True)
+
+    def render(eye, c2w, h, w, f, thermal=False):
+        ys, xs = np.meshgrid(np.arange(h) + 0.5, np.arange(w) + 0.5, indexing="ij")
+        d = np.stack(
+            [(xs - w / 2) / f, -(ys - h / 2) / f, -np.ones_like(xs)], -1
+        )
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        wd = d @ c2w[:3, :3].T
+        b = 2 * np.sum(wd * eye, -1)
+        c = np.sum(eye**2) - radius**2
+        disc = b**2 - 4 * c
+        hit = disc > 0
+        t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
+        p = eye + wd * t[..., None]  # surface points
+        n = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+        if thermal:
+            v = 0.5 + 0.5 * np.sin(6 * p[..., 0] / radius)
+            img = np.repeat(v[..., None], 3, -1)
+        else:
+            img = 0.5 + 0.5 * n  # normal-colored sphere
+        img = np.where(hit[..., None], img, 0.05)
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    frames = []
+    angles = np.linspace(0, 2 * np.pi, num_pairs, endpoint=False)
+    for modality, (h, w), subdir in (
+        ("rgb", rgb_hw, "images"),
+        ("thermal", t_hw, "images_thermal"),
+    ):
+        f = w * 1.2
+        for i, angle in enumerate(angles):
+            eye = 2.0 * np.array(
+                [np.cos(angle), np.sin(angle), 0.3 * np.sin(2 * angle)]
+            )
+            c2w = look_at(eye)
+            name = f"frame_{i:04d}.png"
+            img = render(eye, c2w, h, w, f, thermal=(modality == "thermal"))
+            Image.fromarray(img).save(root / subdir / name)
+            frames.append(
+                {
+                    "file_path": f"{subdir}/{name}",
+                    "transform_matrix": c2w.tolist(),
+                    "fl_x": f, "fl_y": f, "cx": w / 2, "cy": h / 2,
+                    "w": w, "h": h,
+                    "is_thermal": 0 if modality == "rgb" else 1,
+                }
+            )
+    (root / "transforms.json").write_text(json.dumps({"frames": frames}, indent=1))
+    return root

@@ -67,6 +67,8 @@ def shrink(cfg):
         ("sdf_num_layers_color", 2), ("sdf_hidden_dim_color", 8),
         ("num_samples_importance", 4), ("num_up_sample_steps", 2),
         ("num_samples_outside", 4), ("num_neus_samples_per_ray", 4),
+        ("max_num_gaussians", 256), ("num_random", 128),
+        ("rasterize_chunk", 64), ("sh_degree", 1),
     ):
         if hasattr(m, attr):
             setattr(m, attr, val)
@@ -93,6 +95,13 @@ def test_method_trains(tmp_path, method):
 
     if isinstance(cfg.dataparser, BlenderDataParserConfig):
         cfg.data = make_blender_fixture(tmp_path / "blender")
+    elif method == "splatfacto":
+        # rasterization steps need uniform image resolution
+        cfg.data = make_synthetic_rgbt_dataset(
+            tmp_path / "rgbt", rgb_hw=(16, 20), t_hw=(16, 20)
+        )
+        cfg.dataparser.train_split_fraction = 0.5
+        cfg.model.random_init = True
     else:
         cfg.data = make_synthetic_rgbt_dataset(tmp_path / "rgbt")
         cfg.dataparser.train_split_fraction = 0.5

@@ -29,10 +29,11 @@ def capture(logdir="/tmp/xla_trace"):
     h, w = 480, 640
     cfg = ThermalNerfactoModelConfig(
         density_mode="separate",
+        density_loss_rays_fraction=0.25,
         compute_dtype="bfloat16",
         field_encoding="freq",
         proposal_net_args_list=list(_FREQ_PROPOSAL_ARGS),
-        use_pallas=True,
+        use_pallas=False,
     )
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     model = ThermalNerfactoModel(
