@@ -1,17 +1,18 @@
 """Benchmark: thermal-nerfacto training throughput (TRAIN_RAYS_PER_SEC).
 
-Runs the flagship model (thermal-nerfacto, separate density mode) at the
-reference workload constants (SURVEY.md §6 / BASELINE.md: 8192 rays/batch in
-2x2 patches, 48 nerf + (256, 96) proposal samples/ray, 16-level 2^19 hash
-grid, mixed precision) on whatever accelerator JAX provides, and prints one
-JSON line:
+Prints one JSON line per benchmarked config; the LAST line is the flagship
+(`thermal-nerfacto-tpu`, the shipped TPU configuration: compute-dense
+frequency-MLP fields, (128,48)/32 sampling schedule validated for PSNR parity
+in tests/engine/test_convergence.py, 25%-subsampled cross-density
+regularizer). The first line benchmarks the reference-parity hash-grid
+config (`thermal-nerfacto`: 16-level 2^19 hash grid, (256,96)/48) whose
+random gathers lower to a ~serial XLA path on v5e.
 
     {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R}
 
 vs_baseline is value / 200_000: the reference publishes no numbers
 (BASELINE.md), so the denominator is the commonly observed ~200k train
-rays/s of tcnn-backed nerfacto-class models on a single A100 — i.e.
-vs_baseline >= 5 meets the driver's "5x A100/chip" north star.
+rays/s of tcnn-backed nerfacto-class models on a single A100.
 """
 
 import json
@@ -19,41 +20,25 @@ import time
 
 import numpy as np
 
-
 A100_BASELINE_RAYS_PER_SEC = 200_000.0
 
 
-def main():
+def build_setup(method_name: str):
     import jax
     import jax.numpy as jnp
 
-    from nerfstudio_thermal_tpu.models.thermal_nerfacto import (
-        ThermalNerfactoModel,
-        ThermalNerfactoModelConfig,
-    )
-    from nerfstudio_thermal_tpu.engine.optimizers import build_optimizer
-    from nerfstudio_thermal_tpu.configs.method_configs import make_thermal_nerfacto
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+    from nerfstudio_thermal_tpu.configs.method_configs import get_method_config
+    from nerfstudio_thermal_tpu.engine.optimizers import build_optimizer
     from nerfstudio_thermal_tpu.model_components.ray_generators import RayGenerator
-    import optax
+    from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
 
     num_rays = 8192
     num_cameras = 64
     h, w = 480, 640
 
-    # TPU flagship config (thermal-nerfacto-tpu): compute-dense fields.
-    # The hash-grid parity path exists but XLA lowers its random gathers to a
-    # ~serial path on v5e (~0.4 G rows/s measured), so the fast configuration
-    # trades table lookups for MXU FLOPs (see configs/method_configs.py).
-    from nerfstudio_thermal_tpu.configs.method_configs import _FREQ_PROPOSAL_ARGS
-
-    cfg = ThermalNerfactoModelConfig(
-        density_mode="separate",
-        compute_dtype="bfloat16",
-        field_encoding="freq",
-        proposal_net_args_list=list(_FREQ_PROPOSAL_ARGS),
-        use_pallas=True,
-    )
+    method = get_method_config(method_name)
+    cfg = method.model
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     is_thermal = [i % 2 for i in range(num_cameras)]
     model = ThermalNerfactoModel(
@@ -61,8 +46,6 @@ def main():
     )
     params = model.init_params(jax.random.PRNGKey(0))
 
-    # synthetic cameras on a circle
-    rng = np.random.default_rng(0)
     angles = np.linspace(0, 2 * np.pi, num_cameras, endpoint=False)
     c2w = np.tile(np.eye(4, dtype=np.float32)[:3], (num_cameras, 1, 1))
     c2w[:, 0, 3] = 2.0 * np.cos(angles)
@@ -79,8 +62,6 @@ def main():
         camera_type=jnp.full((num_cameras,), CameraType.PERSPECTIVE.value, jnp.int32),
     )
     ray_generator = RayGenerator(cameras)
-
-    method = make_thermal_nerfacto()
     tx = build_optimizer(method.optimizers, params)
     opt_state = tx.init(params)
 
@@ -102,10 +83,10 @@ def main():
         return {
             "ray_indices": jnp.asarray(ray_indices),
             "image": jnp.asarray(r.uniform(size=(num_rays, 3)).astype(np.float32)),
-            "is_thermal": jnp.asarray(
-                np.repeat((cams % 2).astype(np.float32), 4)
-            ),
+            "is_thermal": jnp.asarray(np.repeat((cams % 2).astype(np.float32), 4)),
         }
+
+    import optax
 
     @jax.jit
     def train_step(params, opt_state, key, batch):
@@ -113,12 +94,22 @@ def main():
             bundle = ray_generator(batch["ray_indices"])
             outputs = model.forward(p, bundle, train=True, rng=key)
             metrics = model.get_metrics_dict(p, outputs, batch, train=True)
-            losses = model.get_loss_dict(p, outputs, batch, metrics, train=True, rng=key)
+            losses = model.get_loss_dict(
+                p, outputs, batch, metrics, train=True, rng=key
+            )
             return sum(jax.tree.leaves(losses)), losses
+
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    return train_step, params, opt_state, make_batch, num_rays
+
+
+def run(method_name: str, metric: str, n_steps: int) -> None:
+    import jax
+
+    train_step, params, opt_state, make_batch, num_rays = build_setup(method_name)
     key = jax.random.PRNGKey(1)
     batches = [make_batch(i) for i in range(8)]
 
@@ -129,7 +120,6 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, sub, batches[i % 8])
     float(loss)
 
-    n_steps = 30
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, sub = jax.random.split(key)
@@ -141,13 +131,22 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec",
+                "metric": metric,
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+                "config": method_name,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    # reference-parity hash-grid config first; the flagship LAST (the driver
+    # parses the final line)
+    run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
+    run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 
 if __name__ == "__main__":

@@ -156,6 +156,13 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
         # cross-spectral density regularizer on a 25% ray subsample
         # (unbiased; saves ~28% of the step — see the config docstring)
         cfg.model.density_loss_rays_fraction = 0.25
+    # Leaner sampling schedule for MLP fields: per-sample cost is ~100x a
+    # hash lookup, and (128,48)/32 matched (256,96)/48 PSNR within noise on
+    # the synthetic validation scene (tests/engine/test_convergence.py
+    # fixture; MipNeRF-360 itself uses 64x2/32). Parity configs keep the
+    # reference constants.
+    cfg.model.num_proposal_samples_per_ray = (128, 48)
+    cfg.model.num_nerf_samples_per_ray = 32
     return cfg
 
 
@@ -425,11 +432,65 @@ def make_splatfacto() -> MethodConfig:
     )
 
 
+def make_semantic_nerfw() -> MethodConfig:
+    """(reference method_configs.py semantic-nerfw entry)."""
+    from nerfstudio_thermal_tpu.models.semantic_nerfw import (
+        SemanticNerfWModelConfig,
+    )
+
+    cfg = make_nerfacto()
+    cfg.method_name = "semantic-nerfw"
+    cfg.trainer.method_name = "semantic-nerfw"
+    cfg.description = "Semantic NeRF-W: semantics head + transient filtering."
+    base = cfg.model
+    cfg.model = SemanticNerfWModelConfig(**{
+        f.name: getattr(base, f.name)
+        for f in __import__("dataclasses").fields(base)
+    })
+    cfg.datamanager.train_num_rays_per_batch = 4096
+    return cfg
+
+
 register_method(make_depth_nerfacto())
 register_method(make_tensorf())
 register_method(make_neus())
 register_method(make_neus_facto())
+def make_generfacto() -> MethodConfig:
+    """(reference method_configs.py generfacto entry: random cameras, SDS)."""
+    from nerfstudio_thermal_tpu.data.datamanagers import (
+        RandomCamerasDataManagerConfig,
+    )
+    from nerfstudio_thermal_tpu.models.generfacto import GenerfactoModelConfig
+
+    return MethodConfig(
+        method_name="generfacto",
+        description="Generative Text to NeRF model (SDS guidance).",
+        trainer=TrainerConfig(
+            max_num_iterations=30000, steps_per_eval_batch=0,
+            steps_per_eval_image=0, steps_per_eval_all_images=0,
+            steps_per_save=2000, mixed_precision=False,
+            method_name="generfacto",
+        ),
+        dataparser=NerfstudioDataParserConfig(),  # unused (random cameras)
+        datamanager=RandomCamerasDataManagerConfig(),
+        model=GenerfactoModelConfig(),
+        optimizers={
+            "fields": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=5e-3, eps=1e-15),
+            ),
+            "field_background": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=5e-3, eps=1e-15),
+            ),
+            "proposal_networks": OptimizerGroupConfig(
+                optimizer=AdamOptimizerConfig(lr=1e-2, eps=1e-15),
+            ),
+        },
+    )
+
+
 register_method(make_splatfacto())
+register_method(make_semantic_nerfw())
+register_method(make_generfacto())
 
 
 def get_method_config(name: str) -> MethodConfig:
@@ -451,6 +512,27 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
     from nerfstudio_thermal_tpu.models.vanilla_nerf import NeRFModel, VanillaModelConfig
     from nerfstudio_thermal_tpu.pipelines.base_pipeline import VanillaPipeline
+
+    # generative methods train from random cameras: no dataparser/images
+    from nerfstudio_thermal_tpu.data.datamanagers import (
+        RandomCamerasDataManager,
+        RandomCamerasDataManagerConfig,
+    )
+    from nerfstudio_thermal_tpu.models.generfacto import (
+        GenerfactoModel,
+        GenerfactoModelConfig,
+    )
+
+    if isinstance(config.model, GenerfactoModelConfig):
+        datamanager = RandomCamerasDataManager(config.datamanager)
+        model = GenerfactoModel(
+            config.model,
+            scene_aabb=datamanager.train_dataparser_outputs.scene_box,
+            num_train_data=1,
+            metadata={},
+        )
+        pipeline = VanillaPipeline(datamanager, model)
+        return Trainer(config.trainer, pipeline, config.optimizers, base_dir=base_dir)
 
     if config.data is not None:
         config.dataparser.data = Path(config.data)
@@ -491,6 +573,10 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     )
 
     from nerfstudio_thermal_tpu.models.tensorf import TensoRFModel, TensoRFModelConfig
+    from nerfstudio_thermal_tpu.models.semantic_nerfw import (
+        SemanticNerfWModel,
+        SemanticNerfWModelConfig,
+    )
     from nerfstudio_thermal_tpu.models.neus import NeuSModel, NeuSModelConfig
     from nerfstudio_thermal_tpu.models.neus_facto import (
         NeuSFactoModel,
@@ -520,6 +606,8 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
         model_cls = NeuSFactoModel
     elif isinstance(config.model, NeuSModelConfig):
         model_cls = NeuSModel
+    elif isinstance(config.model, SemanticNerfWModelConfig):
+        model_cls = SemanticNerfWModel
     elif isinstance(config.model, TensoRFModelConfig):
         model_cls = TensoRFModel
     elif isinstance(config.model, InstantNGPModelConfig):

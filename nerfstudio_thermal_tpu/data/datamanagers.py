@@ -151,6 +151,109 @@ class FullImageDatamanager(VanillaDataManager):
         }
 
 
+@dataclass
+class RandomCamerasDataManagerConfig(VanillaDataManagerConfig):
+    """(reference data/datamanagers/random_cameras_datamanager.py): random
+    spherical cameras for generative (text-to-3D) training."""
+
+    radius_mean: float = 2.5
+    radius_std: float = 0.1
+    focal_range: Tuple[float, float] = (0.7, 1.35)
+    vertical_rotation_range: Tuple[float, float] = (-90.0, 0.0)
+    jitter_std: float = 0.01
+    resolution: int = 64
+
+
+class RandomCamerasDataManager:
+    """Produces one random camera pose per step (no images). The eval
+    'dataset' is a fixed ring of cameras for rendering checks."""
+
+    def __init__(self, config: RandomCamerasDataManagerConfig, dataparser=None,
+                 test_split: str = "val"):
+        from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+
+        self.config = config
+        self._rng = np.random.default_rng(config.seed)
+        res = config.resolution
+        n_eval = 8
+        angles = np.linspace(0, 2 * np.pi, n_eval, endpoint=False)
+        c2ws = np.stack([
+            self._look_at(config.radius_mean * np.array(
+                [np.cos(a), np.sin(a), 0.4]))
+            for a in angles
+        ])
+        focal = res * 1.0
+        self._cams = Cameras(
+            camera_to_worlds=c2ws.astype(np.float32),
+            fx=np.full((n_eval,), focal, np.float32),
+            fy=np.full((n_eval,), focal, np.float32),
+            cx=np.full((n_eval,), res / 2, np.float32),
+            cy=np.full((n_eval,), res / 2, np.float32),
+            width=np.full((n_eval,), res, np.int32),
+            height=np.full((n_eval,), res, np.int32),
+            distortion_params=np.zeros((n_eval, 6), np.float32),
+            camera_type=np.full((n_eval,), CameraType.PERSPECTIVE.value, np.int32),
+        )
+        self.train_dataparser_outputs = type(
+            "O", (), {"metadata": {}, "scene_box":
+                      np.array([[-1, -1, -1], [1, 1, 1]], np.float32),
+                      "as_dict": lambda self: {}}
+        )()
+        self.train_dataset = [None]  # len() == 1 (no images)
+        self.eval_dataset = [None] * n_eval
+
+    @staticmethod
+    def _look_at(eye, target=np.zeros(3), up=np.array([0.0, 0.0, 1.0])):
+        fwd = target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, up)
+        right = right / max(np.linalg.norm(right), 1e-9)
+        true_up = np.cross(right, fwd)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[:, 0], c2w[:, 1], c2w[:, 2], c2w[:, 3] = right, true_up, -fwd, eye
+        return c2w
+
+    @property
+    def train_cameras(self):
+        return self._cams
+
+    @property
+    def eval_cameras(self):
+        return self._cams
+
+    def next_train(self, step: int) -> Dict[str, np.ndarray]:
+        """Random spherical pose + per-view angles (reference
+        random_cameras_datamanager.py `RandomCameras`)."""
+        cfg = self.config
+        r = self._rng
+        vertical = r.uniform(*cfg.vertical_rotation_range)  # degrees
+        central = r.uniform(0.0, 360.0)
+        radius = r.normal(cfg.radius_mean, cfg.radius_std)
+        v = np.deg2rad(vertical)
+        h = np.deg2rad(central)
+        eye = radius * np.array(
+            [np.cos(h) * np.cos(v), np.sin(h) * np.cos(v), -np.sin(v)]
+        )
+        eye = eye + r.normal(0, cfg.jitter_std, 3)
+        c2w = self._look_at(eye)
+        focal = r.uniform(*cfg.focal_range) * cfg.resolution
+        return {
+            "c2w": c2w.astype(np.float32),
+            "focal": np.float32(focal),
+            "vertical": np.float32(-vertical),  # ref: positive = overhead
+            "central": np.float32(central),
+        }
+
+    def next_eval(self, step: int) -> Dict[str, np.ndarray]:
+        return self.next_train(step)
+
+    def next_eval_image(self, step: int):
+        raise NotImplementedError("generative training has no GT images")
+
+    def num_train_data(self) -> int:
+        return 1
+
+
 class PrefetchingDataManager(VanillaDataManager):
     """Host prefetch thread keeping a batch queue full
     (TPU analogue of reference parallel_datamanager.py:65-130)."""

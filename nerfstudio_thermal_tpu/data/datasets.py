@@ -79,6 +79,20 @@ class InputDataset:
             depth = depth[..., None]
         return depth * scale
 
+    def get_semantics(self, idx: int):
+        """Per-pixel integer class labels [H, W] or None (reference
+        datasets/semantic_dataset.py: label PNGs listed in
+        metadata['semantics']['filenames'])."""
+        sem = self.metadata.get("semantics")
+        if not sem or not sem.get("filenames"):
+            return None
+        from PIL import Image
+
+        arr = np.asarray(Image.open(sem["filenames"][idx]))
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        return arr.astype(np.int32)
+
     def get_is_thermal(self, idx: int) -> float:
         vals = self.metadata.get("is_thermal")
         return float(vals[idx]) if vals is not None else 0.0

@@ -111,6 +111,14 @@ class PixelSampler:
                 depth = self.dataset.get_depth(int(idx))
                 depth_vals[m] = depth[yx[m, 0], yx[m, 1]][:, :1]
             batch["depth_image"] = depth_vals
+        sem_meta = self.dataset.metadata.get("semantics")
+        if sem_meta and sem_meta.get("filenames"):
+            sem_vals = np.zeros((num_rays,), np.int32)
+            for idx in np.unique(cam_idx):
+                m = cam_idx == idx
+                sem = self.dataset.get_semantics(int(idx))
+                sem_vals[m] = sem[yx[m, 0], yx[m, 1]]
+            batch["semantics"] = sem_vals
         return batch
 
 

@@ -171,6 +171,9 @@ class Trainer:
         if getattr(self.model, "is_rasterization", False):
             self._build_image_train_step()
             return
+        if getattr(self.model, "is_generative", False):
+            self._build_generative_train_step()
+            return
         model = self.model
         cfg = model.config
         tx = self.tx
@@ -302,6 +305,45 @@ class Trainer:
         )
         self._image_batch = True
 
+    def _build_generative_train_step(self):
+        """Text-to-3D step (generfacto): the batch is one random camera pose;
+        the model renders a full low-res image and applies SDS guidance."""
+        model = self.model
+        tx = self.tx
+        replicated = mesh_lib.replicated_sharding(self.mesh)
+        model.get_guidance()  # build guidance + prompt embeddings eagerly
+
+        def train_step(state: TrainState, batch):
+            rng, key_model, key_loss = jax.random.split(state.rng, 3)
+            step = state.step
+
+            def loss_fn(params):
+                outputs = model.generative_forward(
+                    params, batch, step=step, train=True, rng=key_model
+                )
+                loss_dict = model.generative_loss(
+                    params, outputs, batch, step=step, rng=key_loss
+                )
+                return sum(jax.tree.leaves(loss_dict)), loss_dict
+
+            (loss, loss_dict), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params, opt_state=new_opt_state, step=step + 1, rng=rng
+            )
+            return new_state, {"loss": loss, **loss_dict}
+
+        self._train_step_jit = jax.jit(
+            train_step,
+            in_shardings=(replicated, replicated),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+        self._image_batch = True  # replicate the (tiny) pose batch
+
     # ------------------------------------------------------------------
 
     def train_iteration(self, step: int):
@@ -390,8 +432,10 @@ class Trainer:
 
     def eval_batch_iteration(self, step: int):
         """Eval-ray-batch losses (reference trainer.py:501-517)."""
-        if getattr(self.model, "is_rasterization", False):
-            return  # rasterization models eval on full images only
+        if getattr(self.model, "is_rasterization", False) or getattr(
+            self.model, "is_generative", False
+        ):
+            return  # these models eval on full images only
         try:
             batch = self.datamanager.next_eval(step)
             device_batch = mesh_lib.shard_batch(

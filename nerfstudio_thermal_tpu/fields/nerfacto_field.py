@@ -52,6 +52,10 @@ class NerfactoField(nn.Module):
     use_spatial_distortion: bool = True  # SceneContraction(order=inf)
     average_init_density: float = 1.0
     num_channels: int = 3
+    num_semantic_classes: int = 0
+    """>0 adds a semantic head over the geo features
+    (reference nerfacto_field.py use_semantics / semantic_nerfw)."""
+    pass_semantic_gradients: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     field_encoding: str = "hash"
@@ -120,6 +124,15 @@ class NerfactoField(nn.Module):
             compute_dtype=self.compute_dtype,
             fused=self.use_pallas,
         )
+        if self.num_semantic_classes > 0:
+            # semantic head over geo features (reference nerfacto_field.py
+            # mlp_semantics: 2-layer 64-wide + SemanticFieldHead)
+            self.mlp_semantics = MLP(
+                num_layers=2,
+                layer_width=64,
+                out_dim=self.num_semantic_classes,
+                compute_dtype=self.compute_dtype,
+            )
 
     def _normalize_positions(self, positions: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """World positions -> [0,1]^3 hash-grid coords + in-box selector
@@ -201,7 +214,16 @@ class NerfactoField(nn.Module):
         """Full field forward (reference base_field.py forward)."""
         density, geo_feat = self.get_density(ray_samples.get_positions())
         rgb = self.get_outputs(ray_samples, geo_feat, train=train)
-        return {FieldHeadNames.DENSITY: density, FieldHeadNames.RGB: rgb}
+        out = {FieldHeadNames.DENSITY: density, FieldHeadNames.RGB: rgb}
+        if self.num_semantic_classes > 0:
+            feat = geo_feat
+            if not self.pass_semantic_gradients:
+                feat = jax.lax.stop_gradient(feat)
+            sem = self.mlp_semantics(feat.reshape(-1, self.geo_feat_dim))
+            out[FieldHeadNames.SEMANTICS] = sem.reshape(
+                *geo_feat.shape[:-1], self.num_semantic_classes
+            ).astype(jnp.float32)
+        return out
 
     def sample_and_density(self, rng: jax.Array, num_points: int, voxel_size: float):
         """Density at random points + their 6 axis neighbors, for the TV

@@ -96,10 +96,14 @@ def render_depth_expected(weights: jax.Array, ray_samples: RaySamples) -> jax.Ar
 
 
 def render_normals(normals: jax.Array, weights: jax.Array, normalize: bool = True) -> jax.Array:
-    """Weighted normals (reference renderers.py:622-641)."""
+    """Weighted normals (reference renderers.py:622-641). Normalization must
+    be NaN-safe in the BACKWARD at zero vectors (all-background rays have
+    zero weight sums; norm's 0/0 VJP would poison the whole gradient)."""
+    from nerfstudio_thermal_tpu.utils.math import safe_normalize
+
     n = jnp.sum(weights * normals, axis=-2)
     if normalize:
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        n = safe_normalize(n)
     return n
 
 

@@ -83,14 +83,17 @@ def main(argv=None) -> int:
     if positionals:
         print(f"error: unexpected arguments {positionals}", file=sys.stderr)
         return 2
-    if config.data is None:
+    from nerfstudio_thermal_tpu.models.generfacto import GenerfactoModelConfig
+
+    is_generative = isinstance(config.model, GenerfactoModelConfig)
+    if config.data is None and not is_generative:
         print("error: --data is required", file=sys.stderr)
         return 2
 
     timestamp = time.strftime("%Y-%m-%d_%H%M%S")
     exp = config.trainer.experiment_name
     if exp == "experiment":
-        exp = Path(config.data).name
+        exp = Path(config.data).name if config.data is not None else method
         config.trainer.experiment_name = exp
     base_dir = Path(config.trainer.output_dir) / exp / method / timestamp
     base_dir.mkdir(parents=True, exist_ok=True)

@@ -71,7 +71,13 @@ def ssim(
 
 
 def safe_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Unit-normalize with a finite gradient at v == 0 (double-where: the
+    norm's 0/0 gradient would otherwise poison autodiff even under a
+    maximum() clamp — 0 * NaN = NaN in the VJP)."""
+    s = jnp.sum(v * v, axis=-1, keepdims=True)
+    safe = s > eps * eps
+    nrm = jnp.sqrt(jnp.where(safe, s, 1.0))
+    return jnp.where(safe, v / nrm, v)
 
 
 def safe_norm(x: jax.Array, axis=-1) -> jax.Array:

@@ -69,6 +69,7 @@ def shrink(cfg):
         ("num_samples_outside", 4), ("num_neus_samples_per_ray", 4),
         ("max_num_gaussians", 256), ("num_random", 128),
         ("rasterize_chunk", 64), ("sh_degree", 1),
+        ("render_resolution", 8),
     ):
         if hasattr(m, attr):
             setattr(m, attr, val)
