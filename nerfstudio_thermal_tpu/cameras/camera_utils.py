@@ -94,7 +94,9 @@ def focus_of_attention_np(poses: np.ndarray, initial_focus: np.ndarray) -> np.nd
         active_d = active_directions[active]
         m = np.eye(3) - active_d * np.transpose(active_d, (0, 2, 1))
         mt_m = np.transpose(m, (0, 2, 1)) @ m
-        focus_pt = np.linalg.inv(mt_m.mean(0)) @ (mt_m @ active_o).mean(0)[:, 0]
+        # pinv: parallel view directions make mt_m singular (e.g. synthetic
+        # rigs where every camera faces the same way)
+        focus_pt = np.linalg.pinv(mt_m.mean(0)) @ (mt_m @ active_o).mean(0)[:, 0]
         new_active = (
             np.sum(active_directions.squeeze(-1) * (focus_pt - active_origins.squeeze(-1)), axis=-1)
             > 0

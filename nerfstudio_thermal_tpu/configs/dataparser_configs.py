@@ -34,6 +34,24 @@ from nerfstudio_thermal_tpu.data.dataparsers.nerfstudio_dataparser import (
     ThermalNerf,
     ThermalNerfDataParserConfig,
 )
+from nerfstudio_thermal_tpu.data.dataparsers.scene_parsers import (
+    ARKitScenes,
+    ARKitScenesDataParserConfig,
+    Dycheck,
+    DycheckDataParserConfig,
+    NeRFOSR,
+    NeRFOSRDataParserConfig,
+    NuScenes,
+    NuScenesDataParserConfig,
+    Phototourism,
+    PhototourismDataParserConfig,
+    ScanNet,
+    ScanNetDataParserConfig,
+    ScanNetpp,
+    ScanNetppDataParserConfig,
+    Sitcoms3D,
+    Sitcoms3DDataParserConfig,
+)
 from nerfstudio_thermal_tpu.data.dataparsers.sdfstudio_dataparser import (
     SDFStudio,
     SDFStudioDataParserConfig,
@@ -48,6 +66,14 @@ dataparser_configs: Dict[str, DataParserConfig] = {
     "instant-ngp-data": InstantNGPDataParserConfig(),
     "dnerf-data": DNeRFDataParserConfig(),
     "sdfstudio-data": SDFStudioDataParserConfig(),
+    "scannet-data": ScanNetDataParserConfig(),
+    "scannetpp-data": ScanNetppDataParserConfig(),
+    "arkitscenes-data": ARKitScenesDataParserConfig(),
+    "sitcoms3d-data": Sitcoms3DDataParserConfig(),
+    "nerfosr-data": NeRFOSRDataParserConfig(),
+    "phototourism-data": PhototourismDataParserConfig(),
+    "nuscenes-data": NuScenesDataParserConfig(),
+    "dycheck-data": DycheckDataParserConfig(),
 }
 
 DATAPARSER_CLASSES = {
@@ -59,6 +85,14 @@ DATAPARSER_CLASSES = {
     InstantNGPDataParserConfig: InstantNGP,
     DNeRFDataParserConfig: DNeRF,
     SDFStudioDataParserConfig: SDFStudio,
+    ScanNetDataParserConfig: ScanNet,
+    ScanNetppDataParserConfig: ScanNetpp,
+    ARKitScenesDataParserConfig: ARKitScenes,
+    Sitcoms3DDataParserConfig: Sitcoms3D,
+    NeRFOSRDataParserConfig: NeRFOSR,
+    PhototourismDataParserConfig: Phototourism,
+    NuScenesDataParserConfig: NuScenes,
+    DycheckDataParserConfig: Dycheck,
 }
 
 

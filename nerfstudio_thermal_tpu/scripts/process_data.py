@@ -60,11 +60,15 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(
-            "usage: ns-process-data {images|video|rgbt} --data PATH --output-dir PATH [flags]\n"
+            "usage: ns-process-data MODE --data PATH --output-dir PATH [flags]\n"
+            "modes:\n"
             "  images: copy+downscale images, run COLMAP, write transforms.json\n"
             "  video:  extract ~num-frames-target frames, then the images pipeline\n"
             "  rgbt:   FLIR extraction, circle-grid RGB<->thermal calibration,\n"
-            "          COLMAP with fixed intrinsics, metric scale fix, RGBT transforms.json"
+            "          COLMAP with fixed intrinsics, metric scale fix, RGBT transforms.json\n"
+            "  skydio: Skydio drone RGB+IR capture (XMP metadata poses)\n"
+            "  polycam | record3d | metashape | realitycapture | odm:\n"
+            "          vendor exports -> transforms.json"
         )
         return 0
 
@@ -87,6 +91,18 @@ def main(argv=None) -> int:
         )
 
         cls = RGBTToNerfstudioDataset
+    elif mode in ("polycam", "record3d", "metashape", "realitycapture",
+                  "odm", "skydio"):
+        from nerfstudio_thermal_tpu.process_data import device_converters as dc
+
+        cls = {
+            "polycam": dc.PolycamToNerfstudioDataset,
+            "record3d": dc.Record3DToNerfstudioDataset,
+            "metashape": dc.MetashapeToNerfstudioDataset,
+            "realitycapture": dc.RealityCaptureToNerfstudioDataset,
+            "odm": dc.ODMToNerfstudioDataset,
+            "skydio": dc.SkydioToNerfstudioDataset,
+        }[mode]
     else:
         print(f"error: unknown subcommand '{mode}'", file=sys.stderr)
         return 2

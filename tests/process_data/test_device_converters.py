@@ -1,0 +1,178 @@
+"""Device converter tests with synthetic vendor exports.
+Reference surfaces: nerfstudio/process_data/{polycam,record3d,metashape,
+realitycapture,odm}_utils.py + skydio_to_nerfstudio_dataset.py."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _png(path: Path, hw=(8, 10)):
+    from PIL import Image
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (*hw, 3), np.uint8)
+    ).save(path)
+
+
+def test_polycam(tmp_path):
+    from nerfstudio_thermal_tpu.scripts.process_data import main
+
+    kf = tmp_path / "export" / "keyframes"
+    for i in range(3):
+        _png(kf / "images" / f"f{i}.jpg")
+        cam = {f"t_{r}{c}": float(r == c) for r in range(3) for c in range(4)}
+        cam.update(fx=50.0, fy=50.0, cx=5.0, cy=4.0, width=10, height=8,
+                   blur_score=100.0)
+        (kf / "cameras").mkdir(parents=True, exist_ok=True)
+        (kf / "cameras" / f"f{i}.json").write_text(json.dumps(cam))
+    out = tmp_path / "out"
+    rc = main(["polycam", "--data", str(tmp_path / "export"),
+               "--output-dir", str(out), "--min-blur-score", "0",
+               "--crop-border-pixels", "0", "--num-downscales", "0"])
+    assert rc == 0
+    t = json.loads((out / "transforms.json").read_text())
+    assert len(t["frames"]) == 3
+    assert t["frames"][0]["fl_x"] == 50.0
+    assert len(list((out / "images").glob("*.jpg"))) == 3
+
+
+def test_record3d(tmp_path):
+    from nerfstudio_thermal_tpu.scripts.process_data import main
+
+    data = tmp_path / "export"
+    for i in range(4):
+        _png(data / "rgb" / f"{i}.jpg")
+    n = 4
+    poses = np.zeros((n, 7))
+    poses[:, 3] = 1.0  # identity quats (x y z w scalar-last)
+    poses[:, 4] = np.arange(n) * 0.1
+    K = np.array([[60.0, 0, 5], [0, 60.0, 4], [0, 0, 1]])
+    (data / "metadata.json").write_text(json.dumps({
+        "poses": poses.tolist(), "K": K.T.reshape(-1).tolist(),
+        "w": 10, "h": 8,
+    }))
+    out = tmp_path / "out"
+    rc = main(["record3d", "--data", str(data), "--output-dir", str(out),
+               "--num-downscales", "0"])
+    assert rc == 0
+    t = json.loads((out / "transforms.json").read_text())
+    assert len(t["frames"]) == 4 and t["fl_x"] == 60.0
+    m = np.asarray(t["frames"][1]["transform_matrix"])
+    assert m[0, 3] == pytest.approx(0.1)
+
+
+def test_metashape(tmp_path):
+    from nerfstudio_thermal_tpu.scripts.process_data import main
+
+    data = tmp_path / "imgs"
+    for i in range(2):
+        _png(data / f"cam{i}.jpg")
+    xml = f"""<document><chunk>
+      <sensors>
+        <sensor id="0" type="frame">
+          <resolution width="10" height="8"/>
+          <calibration><f>55.0</f><cx>0.5</cx><cy>-0.5</cy><k1>0.01</k1></calibration>
+        </sensor>
+      </sensors>
+      <cameras>
+        <camera label="cam0" sensor_id="0">
+          <transform>{' '.join(str(float(x)) for x in np.eye(4).reshape(-1))}</transform>
+        </camera>
+        <camera label="cam1" sensor_id="0">
+          <transform>{' '.join(str(float(x)) for x in np.eye(4).reshape(-1))}</transform>
+        </camera>
+      </cameras>
+    </chunk></document>"""
+    (tmp_path / "cameras.xml").write_text(xml)
+    out = tmp_path / "out"
+    rc = main(["metashape", "--data", str(data),
+               "--xml", str(tmp_path / "cameras.xml"),
+               "--output-dir", str(out), "--num-downscales", "0"])
+    assert rc == 0
+    t = json.loads((out / "transforms.json").read_text())
+    assert len(t["frames"]) == 2
+    assert t["frames"][0]["fl_x"] == 55.0
+    assert t["frames"][0]["cx"] == pytest.approx(5.5)
+
+
+def test_realitycapture(tmp_path):
+    from nerfstudio_thermal_tpu.scripts.process_data import main
+
+    data = tmp_path / "imgs"
+    for i in range(2):
+        _png(data / f"shot{i}.jpg")
+    csv = (
+        "#name,x,y,alt,heading,pitch,roll,f,px,py,k1,k2,k3,k4,t1,t2\n"
+        "shot0.jpg,0,0,1,0,0,0,36,0,0,0,0,0,0,0,0\n"
+        "shot1.jpg,1,0,1,90,0,0,36,0,0,0,0,0,0,0,0\n"
+    )
+    (tmp_path / "poses.csv").write_text(csv)
+    out = tmp_path / "out"
+    rc = main(["realitycapture", "--data", str(data),
+               "--csv", str(tmp_path / "poses.csv"),
+               "--output-dir", str(out), "--num-downscales", "0"])
+    assert rc == 0
+    t = json.loads((out / "transforms.json").read_text())
+    assert len(t["frames"]) == 2
+    # f=36mm film equivalent -> fl = 36 * max(w,h)/36 = 10
+    assert t["frames"][0]["fl_x"] == pytest.approx(10.0)
+
+
+def test_odm(tmp_path):
+    from nerfstudio_thermal_tpu.scripts.process_data import main
+
+    data = tmp_path / "proj"
+    for i in range(2):
+        _png(data / "images" / f"d{i}.jpg")
+    (data / "cameras.json").write_text(json.dumps({
+        "cam0": {"projection_type": "brown", "width": 10, "height": 8,
+                 "focal_x": 0.9, "focal_y": 0.9, "c_x": 0.0, "c_y": 0.0,
+                 "k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0, "k3": 0.0}
+    }))
+    (data / "opensfm").mkdir(parents=True)
+    recon = [{"shots": {
+        f"d{i}.jpg": {"rotation": [0.0, 0.0, 0.0],
+                      "translation": [0.1 * i, 0.0, 0.0]}
+        for i in range(2)
+    }}]
+    (data / "opensfm" / "reconstruction.nerfstudio.json").write_text(
+        json.dumps(recon)
+    )
+    out = tmp_path / "out"
+    rc = main(["odm", "--data", str(data), "--output-dir", str(out),
+               "--num-downscales", "0"])
+    assert rc == 0
+    t = json.loads((out / "transforms.json").read_text())
+    assert len(t["frames"]) == 2
+    assert t["frames"][0]["fl_x"] == pytest.approx(9.0)
+
+
+def test_skydio_requires_exiftool(tmp_path):
+    from nerfstudio_thermal_tpu.process_data.device_converters import (
+        SkydioToNerfstudioDataset,
+    )
+    from nerfstudio_thermal_tpu.process_data.flir_utils import exiftool_available
+
+    conv = SkydioToNerfstudioDataset(
+        data=tmp_path, output_dir=tmp_path / "out", skip_colmap=True
+    )
+    if not exiftool_available():
+        with pytest.raises(RuntimeError, match="exiftool"):
+            conv.main()
+    else:  # pragma: no cover - environment-dependent
+        pytest.skip("exiftool present; full skydio path exercised elsewhere")
+
+
+def test_hloc_gated():
+    from nerfstudio_thermal_tpu.process_data.hloc_utils import (
+        hloc_available, run_hloc,
+    )
+
+    if hloc_available():  # pragma: no cover
+        pytest.skip("hloc installed")
+    with pytest.raises(ImportError, match="hloc"):
+        run_hloc(Path("x"), Path("y"))
