@@ -14,7 +14,7 @@ the same semantics on the training hot path.
 
 import functools
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -300,6 +300,86 @@ def sh_encoding(directions: jax.Array, levels: int = 4) -> jax.Array:
             0.6258357354491761 * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
         ]
     return jnp.stack(comps, axis=-1)
+
+
+class FFEncoding(nn.Module):
+    """Fourier-feature encoding over an arbitrary basis matrix
+    (reference encodings.py:193-264). Input scaled by 2*pi, projected through
+    `basis` [in_dim, M], multiplied by 2^linspace frequencies, sin of the
+    value and its pi/2 shift; supports integrated encodings via diagonal
+    covariances."""
+
+    basis: Any  # static array-like [in_dim, M]
+    num_frequencies: int = 1
+    min_freq_exp: float = 0.0
+    max_freq_exp: float = 0.0
+    include_input: bool = False
+
+    @property
+    def in_dim(self) -> int:
+        return np.asarray(self.basis).shape[0]
+
+    @property
+    def out_dim(self) -> int:
+        d = np.asarray(self.basis).shape[1] * self.num_frequencies * 2
+        if self.include_input:
+            d += self.in_dim
+        return d
+
+    def __call__(self, in_tensor: jax.Array, covs: Optional[jax.Array] = None) -> jax.Array:
+        """covs: optional [..., in_dim, in_dim] covariances for IPE."""
+        b = jnp.asarray(np.asarray(self.basis, np.float32))
+        scaled = (2.0 * jnp.pi * in_tensor) @ b  # [..., M]
+        freqs = 2.0 ** jnp.linspace(
+            self.min_freq_exp, self.max_freq_exp, self.num_frequencies
+        )
+        scaled = (scaled[..., None] * freqs).reshape(*scaled.shape[:-1], -1)
+        both = jnp.concatenate([scaled, scaled + jnp.pi / 2.0], axis=-1)
+        if covs is None:
+            encoded = jnp.sin(both)
+        else:
+            from nerfstudio_thermal_tpu.utils.math import expected_sin
+
+            input_var = jnp.sum((covs @ b) * b, axis=-2)  # [..., M]
+            input_var = (input_var[..., None] * freqs**2).reshape(
+                *input_var.shape[:-1], -1
+            )
+            encoded = expected_sin(both, jnp.concatenate([input_var] * 2, axis=-1))
+        if self.include_input:
+            encoded = jnp.concatenate([encoded, in_tensor], axis=-1)
+        return encoded
+
+
+def make_rff_encoding(
+    in_dim: int, num_frequencies: int, scale: float,
+    include_input: bool = False, seed: int = 0,
+) -> FFEncoding:
+    """Random Fourier features (reference encodings.py:267-282): gaussian
+    basis, single frequency."""
+    if scale <= 0:
+        raise ValueError("RFF encoding scale must be > 0")
+    b = np.random.default_rng(seed).normal(0.0, scale, (in_dim, num_frequencies))
+    return FFEncoding(basis=tuple(map(tuple, b.astype(np.float32))),
+                      num_frequencies=1, include_input=include_input)
+
+
+def make_polyhedron_ff_encoding(
+    num_frequencies: int, min_freq_exp: float, max_freq_exp: float,
+    basis_shape: str = "octahedron", basis_subdivisions: int = 1,
+    include_input: bool = False,
+) -> FFEncoding:
+    """MipNeRF-360 polyhedron Fourier features
+    (reference encodings.py:285-308)."""
+    from nerfstudio_thermal_tpu.utils.math import generate_polyhedron_basis
+
+    basis = generate_polyhedron_basis(basis_shape, basis_subdivisions).T
+    return FFEncoding(
+        basis=tuple(map(tuple, basis.astype(np.float32))),
+        num_frequencies=num_frequencies,
+        min_freq_exp=min_freq_exp,
+        max_freq_exp=max_freq_exp,
+        include_input=include_input,
+    )
 
 
 class SHEncoding(nn.Module):

@@ -30,6 +30,8 @@ def capture(logdir="/tmp/xla_trace"):
     cfg = ThermalNerfactoModelConfig(
         density_mode="separate",
         density_loss_rays_fraction=0.25,
+        num_proposal_samples_per_ray=(128, 48),
+        num_nerf_samples_per_ray=32,
         compute_dtype="bfloat16",
         field_encoding="freq",
         proposal_net_args_list=list(_FREQ_PROPOSAL_ARGS),
