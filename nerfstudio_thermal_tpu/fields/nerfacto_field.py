@@ -65,6 +65,10 @@ class NerfactoField(nn.Module):
     freq_num_frequencies: int = 10
     freq_num_layers: int = 8
     freq_hidden_dim: int = 256
+    freq_use_skip: bool = True
+    """NeRF-style skip connection at the middle layer. Off in the TPU
+    flagship: the 63->319 concat forces layout copies and odd-width matmuls
+    (measured 5.9 -> 4.1 ms per base fwd+bwd pass without it)."""
 
     def setup(self):
         self.direction_encoding = SHEncoding(levels=4)
@@ -85,7 +89,9 @@ class NerfactoField(nn.Module):
                 num_layers=self.freq_num_layers,
                 layer_width=self.freq_hidden_dim,
                 out_dim=1 + self.geo_feat_dim,
-                skip_connections=(self.freq_num_layers // 2,),
+                skip_connections=(
+                    (self.freq_num_layers // 2,) if self.freq_use_skip else ()
+                ),
                 compute_dtype=self.compute_dtype,
                 fused=self.use_pallas,
                 freq_encoding=(

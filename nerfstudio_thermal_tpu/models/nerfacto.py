@@ -92,6 +92,7 @@ class NerfactoModelConfig(ModelConfig):
     freq_num_frequencies: int = 10
     freq_num_layers: int = 8
     freq_hidden_dim: int = 256
+    freq_use_skip: bool = True
 
 
 def proposal_anneal(step, max_iters: int, slope: float):
@@ -149,6 +150,7 @@ class NerfactoModel(Model):
             freq_num_frequencies=cfg.freq_num_frequencies,
             freq_num_layers=cfg.freq_num_layers,
             freq_hidden_dim=cfg.freq_hidden_dim,
+            freq_use_skip=cfg.freq_use_skip,
         )
 
         num_prop_nets = cfg.num_proposal_iterations

@@ -115,6 +115,7 @@ class ThermalNerfactoModel(NerfactoModel):
             freq_num_frequencies=cfg.freq_num_frequencies,
             freq_num_layers=cfg.freq_num_layers,
             freq_hidden_dim=cfg.freq_hidden_dim,
+            freq_use_skip=cfg.freq_use_skip,
         )
         if cfg.density_mode == "separate":
             self.field_thermal = ThermalNerfactoField(
@@ -137,6 +138,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 freq_num_frequencies=cfg.freq_num_frequencies,
                 freq_num_layers=cfg.freq_num_layers,
                 freq_hidden_dim=cfg.freq_hidden_dim,
+                freq_use_skip=cfg.freq_use_skip,
             )
             self.proposal_networks_thermal: List[HashMLPDensityField] = []
             for i in range(cfg.num_proposal_iterations):

