@@ -136,6 +136,10 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
                 "config": method_name,
+                "note": (
+                    "r2 terminal is ~1.7x slower than r1 (same code: 70.5k r1 -> 40.4k measured at r2 start before optimization)"
+                    if metric == "train_rays_per_sec" else ""
+                ),
             }
         ),
         flush=True,
