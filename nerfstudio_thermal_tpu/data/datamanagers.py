@@ -30,6 +30,10 @@ class VanillaDataManagerConfig:
     patch_size: int = 1
     camera_res_scale_factor: float = 1.0
     seed: int = 0
+    use_native_sampler: bool = True
+    """Use the C++ batch sampler (native/batch_sampler.cpp) for the per-step
+    host hot path when it is buildable and the dataset has no extra per-pixel
+    channels (depth/semantics); falls back to the Python sampler otherwise."""
 
 
 class VanillaDataManager:
@@ -67,6 +71,38 @@ class VanillaDataManager:
             seed=config.seed + 1,
         )
         self._eval_image_index = 0
+        self._native = None
+        if config.use_native_sampler:
+            self._native = self._try_native_sampler()
+
+    def _try_native_sampler(self):
+        """Build the C++ fast-path sampler when the dataset qualifies
+        (no per-pixel sidecar channels; uniform channel count)."""
+        md = self.train_dataset.metadata
+        if md.get("depth_filenames") or (
+            md.get("semantics") and md["semantics"].get("filenames")
+        ):
+            return None
+        try:
+            from nerfstudio_thermal_tpu.data.native_sampler import (
+                NativeBatchSampler, native_available,
+            )
+
+            if not native_available():
+                return None
+            self.train_dataset.preload()
+            images = [
+                self.train_dataset.get_image(i)
+                for i in range(len(self.train_dataset))
+            ]
+            if len({im.shape[-1] for im in images}) != 1:
+                return None
+            return NativeBatchSampler(
+                images, self.train_dataset.is_thermal,
+                patch_size=self.config.patch_size, seed=self.config.seed,
+            )
+        except Exception:
+            return None
 
     @property
     def train_cameras(self):
@@ -77,6 +113,8 @@ class VanillaDataManager:
         return self.eval_dataset.cameras
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
+        if self._native is not None:
+            return self._native.sample(self.config.train_num_rays_per_batch)
         return self.train_pixel_sampler.sample()
 
     def next_eval(self, step: int) -> Dict[str, np.ndarray]:
@@ -267,7 +305,10 @@ class PrefetchingDataManager(VanillaDataManager):
 
     def _worker(self):
         while not self._stop.is_set():
-            batch = self.train_pixel_sampler.sample()
+            if self._native is not None:
+                batch = self._native.sample(self.config.train_num_rays_per_batch)
+            else:
+                batch = self.train_pixel_sampler.sample()
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)
