@@ -79,6 +79,24 @@ class InputDataset:
             depth = depth[..., None]
         return depth * scale
 
+    def get_normal(self, idx: int):
+        """Monocular normal prior [H, W, 3] in [-1, 1], or None (reference
+        sdfstudio mono_normal_path: npy in [0,1] -> *2-1, world-aligned by
+        the dataparser's camera_to_worlds when needed)."""
+        files = self.metadata.get("normal_filenames")
+        if not files:
+            return None
+        path = files[idx]
+        if str(path).endswith(".npy"):
+            n = np.load(path).astype(np.float32)
+        else:
+            from PIL import Image
+
+            n = np.asarray(Image.open(path)).astype(np.float32) / 255.0
+        if n.ndim == 3 and n.shape[0] == 3 and n.shape[-1] != 3:
+            n = np.moveaxis(n, 0, -1)
+        return n * 2.0 - 1.0
+
     def get_semantics(self, idx: int):
         """Per-pixel integer class labels [H, W] or None (reference
         datasets/semantic_dataset.py: label PNGs listed in

@@ -111,6 +111,15 @@ class PixelSampler:
                 depth = self.dataset.get_depth(int(idx))
                 depth_vals[m] = depth[yx[m, 0], yx[m, 1]][:, :1]
             batch["depth_image"] = depth_vals
+        if self.dataset.metadata.get("normal_filenames"):
+            normal_vals = np.zeros((num_rays, 3), np.float32)
+            for idx in np.unique(cam_idx):
+                m = cam_idx == idx
+                normal = self.dataset.get_normal(int(idx))
+                if normal is None:
+                    continue
+                normal_vals[m] = normal[yx[m, 0], yx[m, 1]]
+            batch["normal"] = normal_vals
         sem_meta = self.dataset.metadata.get("semantics")
         if sem_meta and sem_meta.get("filenames"):
             sem_vals = np.zeros((num_rays,), np.int32)

@@ -267,3 +267,66 @@ def cross_channel_loss(
     )
     per_patch = diff[0] + diff[1] + diff[2] + diff[3]
     return masked_mean(per_patch, rgb_mask) / patch_size**2
+
+
+# ---------------------------------------------------------------------------
+# Monocular-prior losses (MonoSDF; reference losses.py:332-347, 467-520 and
+# utils/math.py:325-363)
+# ---------------------------------------------------------------------------
+
+
+def monosdf_normal_loss(normal_pred: jax.Array, normal_gt: jax.Array) -> jax.Array:
+    """Angular + L1 consistency with a monocular normal prior
+    (reference losses.py:332-347)."""
+    from nerfstudio_thermal_tpu.utils.math import safe_normalize
+
+    p = safe_normalize(normal_pred)
+    g = safe_normalize(normal_gt)
+    l1 = jnp.mean(jnp.sum(jnp.abs(p - g), axis=-1))
+    cos = jnp.mean(1.0 - jnp.sum(p * g, axis=-1))
+    return l1 + cos
+
+
+def normalized_depth_scale_and_shift(prediction, target, mask):
+    """Closed-form least-squares scale/shift aligning a (normalized)
+    monocular depth prediction to the target (reference
+    utils/math.py:325-363). Shapes [B, ...]; reduces over all but the
+    leading dim."""
+    axes = tuple(range(1, prediction.ndim))
+    m = mask.astype(prediction.dtype)
+    a00 = jnp.sum(m * prediction * prediction, axes)
+    a01 = jnp.sum(m * prediction, axes)
+    a11 = jnp.sum(m, axes)
+    b0 = jnp.sum(m * prediction * target, axes)
+    b1 = jnp.sum(m * target, axes)
+    det = a00 * a11 - a01 * a01
+    safe = jnp.abs(det) > 1e-12
+    det_s = jnp.where(safe, det, 1.0)
+    scale = jnp.where(safe, (a11 * b0 - a01 * b1) / det_s, 0.0)
+    shift = jnp.where(safe, (-a01 * b0 + a00 * b1) / det_s, 0.0)
+    return scale, shift
+
+
+def scale_and_shift_invariant_depth_loss(
+    prediction, target, mask, alpha: float = 0.5, scales: int = 4
+) -> jax.Array:
+    """MiDaS scale/shift-invariant depth loss: align prediction per batch
+    row, then masked MSE + multi-scale gradient regularizer
+    (reference losses.py:350-520). prediction/target/mask: [B, H, W]."""
+    scale, shift = normalized_depth_scale_and_shift(prediction, target, mask)
+    pred = prediction * scale[:, None, None] + shift[:, None, None]
+    m = mask.astype(pred.dtype)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    data = jnp.sum(m * (pred - target) ** 2) / denom
+
+    reg = 0.0
+    for s in range(scales):
+        step = 2**s
+        p = pred[:, ::step, ::step]
+        t = target[:, ::step, ::step]
+        mm = m[:, ::step, ::step]
+        diff = (p - t) * mm
+        gx = jnp.abs(diff[:, :, 1:] - diff[:, :, :-1]) * mm[:, :, 1:] * mm[:, :, :-1]
+        gy = jnp.abs(diff[:, 1:, :] - diff[:, :-1, :]) * mm[:, 1:, :] * mm[:, :-1, :]
+        reg = reg + (jnp.sum(gx) + jnp.sum(gy)) / denom
+    return data + alpha * reg

@@ -48,6 +48,8 @@ class SurfaceModelConfig(ModelConfig):
     use_average_appearance_embedding: bool = False
     eikonal_loss_mult: float = 0.1
     fg_mask_loss_mult: float = 0.01
+    mono_normal_loss_mult: float = 0.0
+    mono_depth_loss_mult: float = 0.0
     background_model: str = "mlp"  # mlp | none
     num_samples_outside: int = 32
     overwrite_near_far_plane: bool = False
@@ -244,4 +246,33 @@ class SurfaceModel(Model):
                 )
                 bce = -(fg * jnp.log(w_sum) + (1 - fg) * jnp.log(1 - w_sum))
                 loss_dict["fg_mask_loss"] = jnp.mean(bce) * cfg.fg_mask_loss_mult
+            # monocular priors (reference base_surface_model.py:293-330)
+            if "normal" in batch and cfg.mono_normal_loss_mult > 0:
+                from nerfstudio_thermal_tpu.model_components.losses import (
+                    monosdf_normal_loss,
+                )
+
+                loss_dict["normal_loss"] = cfg.mono_normal_loss_mult * (
+                    monosdf_normal_loss(outputs["normal"], batch["normal"])
+                )
+            depth_key = "depth" if "depth" in batch else (
+                "depth_image" if "depth_image" in batch else None
+            )
+            if depth_key is not None and cfg.mono_depth_loss_mult > 0:
+                from nerfstudio_thermal_tpu.model_components.losses import (
+                    scale_and_shift_invariant_depth_loss,
+                )
+
+                depth_gt = (batch[depth_key].reshape(-1) * 50 + 0.5)
+                depth_pred = outputs["depth"].reshape(-1)
+                n = depth_pred.shape[0]
+                rows = max(n // 32, 1) * 32
+                loss_dict["depth_loss"] = cfg.mono_depth_loss_mult * (
+                    scale_and_shift_invariant_depth_loss(
+                        depth_pred[:rows].reshape(1, 32, -1),
+                        depth_gt[:rows].reshape(1, 32, -1),
+                        jnp.ones((1, 32, rows // 32), bool),
+                        alpha=0.5, scales=1,
+                    )
+                )
         return loss_dict

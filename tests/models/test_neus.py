@@ -156,3 +156,70 @@ def test_eikonal_loss_trainable():
         lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_mono_prior_losses():
+    """monosdf normal + scale/shift-invariant depth losses
+    (reference losses.py:332-347, 467-520)."""
+    import jax.numpy as jnp
+
+    from nerfstudio_thermal_tpu.model_components.losses import (
+        monosdf_normal_loss,
+        normalized_depth_scale_and_shift,
+        scale_and_shift_invariant_depth_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    n = jnp.asarray(rng.normal(size=(32, 3)).astype(np.float32))
+    # identical normals -> zero loss
+    assert float(monosdf_normal_loss(n, n)) < 1e-5
+    # opposite normals -> positive
+    assert float(monosdf_normal_loss(n, -n)) > 1.0
+
+    # scale/shift recovery: target = 3 * pred + 0.7
+    pred = jnp.asarray(rng.uniform(0.1, 1, (1, 8, 16)).astype(np.float32))
+    target = 3.0 * pred + 0.7
+    mask = jnp.ones_like(pred, bool)
+    s, t = normalized_depth_scale_and_shift(pred, target, mask)
+    np.testing.assert_allclose(float(s[0]), 3.0, rtol=1e-4)
+    np.testing.assert_allclose(float(t[0]), 0.7, rtol=1e-3)
+    # aligned loss ~ 0 for an exact affine relation
+    assert float(
+        scale_and_shift_invariant_depth_loss(pred, target, mask)
+    ) < 1e-6
+
+
+def test_surface_model_mono_losses_wire(tmp_path):
+    from nerfstudio_thermal_tpu.models.neus_facto import (
+        NeuSFactoModel, NeuSFactoModelConfig,
+    )
+
+    cfg = NeuSFactoModelConfig(
+        sdf_num_layers=2, sdf_hidden_dim=8, sdf_geo_feat_dim=4,
+        sdf_num_layers_color=2, sdf_hidden_dim_color=8,
+        num_proposal_samples_per_ray=(4,), num_proposal_iterations=1,
+        num_neus_samples_per_ray=4, background_model="none",
+        proposal_net_args_list=[
+            {"hidden_dim": 8, "log2_hashmap_size": 7, "num_levels": 2, "max_res": 8}
+        ],
+        appearance_embed_dim=4, eval_num_rays_per_chunk=32,
+        mono_normal_loss_mult=0.05, mono_depth_loss_mult=0.05,
+    )
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    model = NeuSFactoModel(cfg, aabb, num_train_data=2)
+    params = model.init_params(jax.random.PRNGKey(0))
+    bundle = _ray_bundle(32)
+    rng = np.random.default_rng(1)
+    nrm = rng.normal(size=(32, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    batch = {
+        "image": jnp.full((32, 3), 0.5),
+        "normal": jnp.asarray(nrm),
+        "depth_image": jnp.asarray(rng.uniform(0.5, 3.0, (32, 1)).astype(np.float32)),
+    }
+    out = model.forward(params, bundle, train=True, rng=jax.random.PRNGKey(1))
+    ld = model.get_loss_dict(params, out, batch, {}, train=True,
+                             rng=jax.random.PRNGKey(2))
+    assert "normal_loss" in ld and "depth_loss" in ld
+    assert np.isfinite(float(ld["normal_loss"]))
+    assert np.isfinite(float(ld["depth_loss"]))
