@@ -231,10 +231,76 @@ def make_mipnerf() -> MethodConfig:
     )
 
 
+def make_nerfacto_big() -> MethodConfig:
+    """(reference method_configs.py:126-172)."""
+    cfg = make_nerfacto()
+    cfg.method_name = "nerfacto-big"
+    cfg.trainer.method_name = "nerfacto-big"
+    cfg.trainer.max_num_iterations = 100000
+    cfg.description = "Larger nerfacto for bigger scenes."
+    cfg.datamanager.train_num_rays_per_batch = 8192
+    m = cfg.model
+    m.num_nerf_samples_per_ray = 128
+    m.num_proposal_samples_per_ray = (512, 256)
+    m.hidden_dim = 128
+    m.hidden_dim_color = 128
+    m.appearance_embed_dim = 128
+    m.max_res = 4096
+    m.log2_hashmap_size = 21
+    return cfg
+
+
+def make_nerfacto_huge() -> MethodConfig:
+    """(reference method_configs.py:174-230)."""
+    cfg = make_nerfacto()
+    cfg.method_name = "nerfacto-huge"
+    cfg.trainer.method_name = "nerfacto-huge"
+    cfg.trainer.max_num_iterations = 100000
+    cfg.description = "Even larger nerfacto; long training."
+    cfg.datamanager.train_num_rays_per_batch = 16384
+    m = cfg.model
+    m.num_nerf_samples_per_ray = 64
+    m.num_proposal_samples_per_ray = (512, 512)
+    m.proposal_net_args_list = [
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 5,
+         "max_res": 512, "use_linear": False},
+        {"hidden_dim": 16, "log2_hashmap_size": 17, "num_levels": 7,
+         "max_res": 2048, "use_linear": False},
+    ]
+    m.hidden_dim = 256
+    m.hidden_dim_color = 256
+    m.appearance_embed_dim = 32
+    m.max_res = 8192
+    m.log2_hashmap_size = 21
+    return cfg
+
+
+def make_instant_ngp_bounded() -> MethodConfig:
+    """(reference method_configs.py:336-369): single-level grid, no scene
+    contraction, black background — for bounded synthetic scenes."""
+    cfg = make_instant_ngp()
+    cfg.method_name = "instant-ngp-bounded"
+    cfg.trainer.method_name = "instant-ngp-bounded"
+    cfg.description = "Instant-NGP for bounded real/synthetic scenes."
+    from nerfstudio_thermal_tpu.data.dataparsers.instant_ngp_dataparser import (
+        InstantNGPDataParserConfig,
+    )
+
+    cfg.dataparser = InstantNGPDataParserConfig()
+    cfg.datamanager.train_num_rays_per_batch = 8192
+    m = cfg.model
+    m.disable_scene_contraction = True
+    m.near_plane = 0.01
+    m.background_color = "black"
+    return cfg
+
+
 register_method(make_nerfacto())
 register_method(make_thermal_nerfacto())
 register_method(_tpu_variant(make_nerfacto(), "nerfacto-tpu"))
 register_method(_tpu_variant(make_thermal_nerfacto(), "thermal-nerfacto-tpu"))
+register_method(make_nerfacto_big())
+register_method(make_nerfacto_huge())
 def make_instant_ngp() -> MethodConfig:
     """(reference method_configs.py instant-ngp entry :313-350)."""
     from nerfstudio_thermal_tpu.models.instant_ngp import InstantNGPModelConfig
@@ -282,6 +348,7 @@ def make_depth_nerfacto() -> MethodConfig:
 
 
 register_method(make_instant_ngp())
+register_method(make_instant_ngp_bounded())
 def make_tensorf() -> MethodConfig:
     """(reference method_configs.py tensorf entry)."""
     from nerfstudio_thermal_tpu.data.dataparsers.blender_dataparser import (

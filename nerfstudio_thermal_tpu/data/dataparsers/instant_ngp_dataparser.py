@@ -87,8 +87,8 @@ class InstantNGP(DataParser):
                 from PIL import Image
 
                 w0, h0 = Image.open(fname).size
-                meta["w"], meta.setdefault("h", h0)
                 meta["w"] = w0
+                meta.setdefault("h", h0)
             image_filenames.append(fname)
             poses.append(np.asarray(frame["transform_matrix"], np.float32))
             if "mask_path" in frame:

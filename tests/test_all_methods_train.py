@@ -42,6 +42,30 @@ def make_blender_fixture(root: Path, n=3, hw=(12, 16)):
     return root
 
 
+def make_ingp_fixture(root: Path, n=4, hw=(12, 16)):
+    """Instant-NGP-format dataset: single transforms.json, global intrinsics."""
+    from PIL import Image
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n):
+        angle = 2 * np.pi * i / n
+        eye = 2.5 * np.array([np.cos(angle), np.sin(angle), 0.3])
+        c2w = look_at(eye)
+        Image.fromarray(
+            (rng.uniform(size=(*hw, 3)) * 255).astype(np.uint8)
+        ).save(root / "images" / f"f_{i}.png")
+        frames.append(
+            {"file_path": f"images/f_{i}.png", "transform_matrix": c2w.tolist()}
+        )
+    meta = {"fl_x": hw[1] * 0.9, "w": hw[1], "h": hw[0], "cx": hw[1] / 2,
+            "cy": hw[0] / 2, "aabb_scale": 2, "frames": frames}
+    (root / "transforms.json").write_text(json.dumps(meta))
+    return root
+
+
 def shrink(cfg):
     cfg.trainer.max_num_iterations = 2
     cfg.trainer.steps_per_save = 1000
@@ -94,7 +118,14 @@ def test_method_trains(tmp_path, method):
         BlenderDataParserConfig,
     )
 
-    if isinstance(cfg.dataparser, BlenderDataParserConfig):
+    from nerfstudio_thermal_tpu.data.dataparsers.instant_ngp_dataparser import (
+        InstantNGPDataParserConfig,
+    )
+
+    if isinstance(cfg.dataparser, InstantNGPDataParserConfig):
+        cfg.data = make_ingp_fixture(tmp_path / "ingp")
+        cfg.dataparser.train_split_fraction = 0.5
+    elif isinstance(cfg.dataparser, BlenderDataParserConfig):
         cfg.data = make_blender_fixture(tmp_path / "blender")
     elif method == "splatfacto":
         # rasterization steps need uniform image resolution
