@@ -182,3 +182,48 @@ def test_splatfacto_learns(tmp_path):
         trainer.host_params(), trainer.datamanager.eval_cameras, 0
     )
     assert np.isfinite(out["rgb"]).all()
+
+
+@pytest.mark.slow
+def test_splatfacto_render_cli(tmp_path):
+    """ns-render interpolated works from a splatfacto checkpoint (the
+    rasterization path through the shared full-image renderer)."""
+    from nerfstudio_thermal_tpu.configs.method_configs import (
+        get_method_config, setup_trainer,
+    )
+    from nerfstudio_thermal_tpu.configs.serialization import save_config
+    from nerfstudio_thermal_tpu.scripts.render import main as ns_render
+    from tests.fixtures import make_consistent_rgbt_dataset
+
+    data = make_consistent_rgbt_dataset(
+        tmp_path / "scene", num_pairs=4, rgb_hw=(16, 16), t_hw=(16, 16)
+    )
+    cfg = get_method_config("splatfacto")
+    cfg.data = Path(data)
+    cfg.trainer.max_num_iterations = 3
+    cfg.trainer.steps_per_save = 3
+    cfg.trainer.steps_per_eval_image = 0
+    cfg.trainer.steps_per_eval_batch = 0
+    cfg.trainer.steps_per_eval_all_images = 0
+    cfg.trainer.num_devices = 1
+    cfg.dataparser.train_split_fraction = 0.75
+    m = cfg.model
+    m.random_init = True
+    m.num_random = 256
+    m.max_num_gaussians = 512
+    m.rasterize_chunk = 64
+    m.sh_degree = 1
+    m.warmup_length = 100
+    trainer = setup_trainer(cfg, base_dir=tmp_path / "run")
+    trainer.setup()
+    trainer.train()
+    save_config(cfg, tmp_path / "run" / "config.yml")
+
+    rc = ns_render([
+        "interpolated", "--load-config", str(tmp_path / "run" / "config.yml"),
+        "--output-path", str(tmp_path / "out" / "frames"),
+        "--interpolation-steps", "2",
+    ])
+    assert rc == 0
+    imgs = list((tmp_path / "out").glob("**/*.png"))
+    assert imgs, "no rendered frames"
