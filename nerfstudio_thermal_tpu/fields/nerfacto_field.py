@@ -255,9 +255,13 @@ class NerfactoField(nn.Module):
         selector = jnp.all((all_points > 0.0) & (all_points < 1.0), axis=-1)
         positions = all_points * selector[..., None]
         if self.field_encoding == "freq":
-            h = self.mlp_base_net(
-                self.position_encoding(positions).astype(self.compute_dtype)
-            )
+            if self.use_pallas:
+                # fused path encodes in-kernel: feed raw coordinates
+                h = self.mlp_base_net(positions)
+            else:
+                h = self.mlp_base_net(
+                    self.position_encoding(positions).astype(self.compute_dtype)
+                )
         else:
             h = self.mlp_base(positions)
         return trunc_exp(h[..., :1].astype(jnp.float32))
