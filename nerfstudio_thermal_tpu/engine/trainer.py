@@ -376,7 +376,8 @@ class Trainer:
             params=params, opt_state=opt_state, extra=extra
         )
         self.state = mesh_lib.replicate(new_state, self.mesh)
-        model._host_alive = np.asarray(extra["alive"])
+        if isinstance(extra, dict) and "alive" in extra:
+            model._host_alive = np.asarray(extra["alive"])
 
     def train(self):
         self.writer.console_log(0, {})

@@ -8,7 +8,7 @@ noted as a deliberate deviation.
 """
 
 from dataclasses import dataclass
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,14 @@ class TensoRFModelConfig(ModelConfig):
     num_uniform_samples: int = 200
     num_samples: int = 50
     resolution: int = 128
+    """Initial VM grid resolution (reference init_resolution)."""
+    final_resolution: int = 300
+    upsampling_iters: Tuple[int, ...] = (2000, 3000, 4000, 5500, 7000)
+    """Steps at which the VM grids are bilinearly upsampled toward
+    final_resolution on a log schedule (reference tensorf.py:49-130). The
+    resize happens HOST-side via the trainer's refinement hook (the jitted
+    step re-traces on the new shapes) — the functional replacement for the
+    reference's shape-mutating callback."""
     density_components: int = 16
     color_components: int = 48
     appearance_dim: int = 27
@@ -67,6 +75,81 @@ class TensoRFModel(Model):
         return {
             "fields": self.field.init(rng, _dummy_ray_samples(), train=True)["params"]
         }
+
+    # --- mid-training VM grid upsampling (host-side) -------------------
+
+    def _resolution_schedule(self):
+        import numpy as np
+
+        cfg = self.config
+        n = len(cfg.upsampling_iters)
+        res = np.rint(
+            np.exp(
+                np.linspace(
+                    np.log(cfg.resolution), np.log(cfg.final_resolution), n + 1
+                )
+            )
+        ).astype(np.int64)[1:]
+        return {int(s): int(r) for s, r in zip(cfg.upsampling_iters, res)}
+
+    def wants_host_refinement(self, step: int) -> bool:
+        return step in self._resolution_schedule()
+
+    def refine_host(self, params, opt_state, extra, step: int):
+        """Bilinearly upsample the plane/line grids (and zero the matching
+        Adam moments, like the reference's optimizer reinit,
+        tensorf.py:126-149)."""
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+
+        new_r = self._resolution_schedule()[step]
+
+        def lin1d(x, axis, r_old):
+            """linear resample along `axis` from r_old to new_r (numpy;
+            cv2.resize caps at 4 channels, the VM grids have 16/48)."""
+            xi = np.linspace(0, r_old - 1, new_r)
+            i0 = np.floor(xi).astype(int)
+            i1 = np.minimum(i0 + 1, r_old - 1)
+            f = xi - i0
+            a = np.take(x, i0, axis=axis)
+            b = np.take(x, i1, axis=axis)
+            shape = [1] * x.ndim
+            shape[axis] = new_r
+            f = f.reshape(shape)
+            return a * (1 - f) + b * f
+
+        def resize(x):
+            x = np.asarray(x)
+            if x.ndim == 4 and x.shape[1] == x.shape[2]:  # [3, r, r, C]
+                r = x.shape[1]
+                return lin1d(lin1d(x, 1, r), 2, r).astype(np.float32)
+            if x.ndim == 3:  # [3, r, C] lines
+                return lin1d(x, 1, x.shape[1]).astype(np.float32)
+            return x
+
+        grid_keys = ("density_planes", "density_lines",
+                     "color_planes", "color_lines")
+        f = dict(params["fields"])
+        for k in grid_keys:
+            f[k] = jnp.asarray(resize(f[k]))
+        new_params = {**params, "fields": f}
+
+        # zero optimizer moments whose leaves changed shape
+        def fix(x):
+            if hasattr(x, "shape") and x.ndim in (3, 4):
+                for k in grid_keys:
+                    old = np.asarray(params["fields"][k])
+                    if x.shape == old.shape and x.shape != np.asarray(f[k]).shape:
+                        return jnp.zeros_like(jnp.asarray(resize(x)))
+            return x
+
+        new_opt = jax.tree.map(fix, opt_state)
+        # rebuild the field module at the new declared resolution (flax
+        # validates param shapes against the module's init spec on apply)
+        self.field = self.field.clone(resolution=new_r)
+        print(f"tensorf: upsampled VM grids to {new_r}^2 at step {step}")
+        return new_params, new_opt, extra
 
     def get_outputs(self, params, ray_bundle: RayBundle, *, train=True, rng=None, **_):
         cfg = self.config

@@ -115,3 +115,53 @@ def test_depth_nerfacto_with_depth_files(tmp_path):
     scalars = trainer.train_iteration(2)
     assert "depth_loss" in scalars
     assert np.isfinite(float(scalars["loss"]))
+
+
+def test_tensorf_upsampling_mid_training(tmp_path):
+    """VM grids upsample at scheduled steps through the trainer's host
+    refinement hook and training continues at the new shapes
+    (reference tensorf.py:49-153)."""
+    import jax
+    import numpy as np
+
+    from nerfstudio_thermal_tpu.configs.method_configs import (
+        get_method_config, setup_trainer,
+    )
+    from tests.test_all_methods_train import make_blender_fixture
+
+    cfg = get_method_config("tensorf")
+    cfg.data = make_blender_fixture(tmp_path / "blender")
+    cfg.trainer.max_num_iterations = 6
+    for a in ("steps_per_save", "steps_per_eval_image", "steps_per_eval_batch",
+              "steps_per_log"):
+        setattr(cfg.trainer, a, 100000)
+    cfg.trainer.steps_per_eval_all_images = 0
+    cfg.trainer.num_devices = 1
+    cfg.datamanager.train_num_rays_per_batch = 16
+    m = cfg.model
+    m.compute_dtype = "float32"
+    m.resolution = 8
+    m.final_resolution = 16
+    m.upsampling_iters = (2, 4)
+    m.num_uniform_samples = 8
+    m.num_samples = 4
+    m.density_components = 4
+    m.color_components = 6
+    m.appearance_dim = 6
+    m.head_mlp_width = 8
+    m.eval_num_rays_per_chunk = 32
+    trainer = setup_trainer(cfg, base_dir=tmp_path / "out")
+    trainer.setup()
+
+    r0 = trainer.state.params["fields"]["density_planes"].shape[1]
+    assert r0 == 8
+    losses = []
+    for step in range(6):
+        s = trainer.train_iteration(step)
+        losses.append(float(s["loss"]))
+    r1 = trainer.state.params["fields"]["density_planes"].shape[1]
+    assert r1 == 16, r1  # final_resolution reached after both upsamples
+    assert np.isfinite(losses).all()
+    # optimizer state resized consistently (a further step still works)
+    s = trainer.train_iteration(6)
+    assert np.isfinite(float(s["loss"]))
