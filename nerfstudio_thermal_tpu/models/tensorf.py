@@ -2,9 +2,10 @@
 
 Behavioral spec: reference `nerfstudio/models/tensorf.py:47-378` — VM-
 decomposed field, uniform + PDF sampling, RGB MSE + L1 regularization on the
-tensor factors. The reference's grid-upsampling schedule changes array shapes
-mid-training (hostile to jit caches); resolution is fixed per run here and
-noted as a deliberate deviation.
+tensor factors. The reference's grid-upsampling schedule (tensorf.py:49-130)
+is reproduced host-side via the trainer's refinement hook: at each scheduled
+step the VM grids are bilinearly resized on the host and the jitted train
+step re-traces at the new shapes.
 """
 
 from dataclasses import dataclass
