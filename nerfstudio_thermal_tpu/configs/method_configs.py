@@ -26,6 +26,7 @@ from nerfstudio_thermal_tpu.engine.optimizers import (
 from nerfstudio_thermal_tpu.engine.schedulers import ExponentialDecaySchedulerConfig
 from nerfstudio_thermal_tpu.engine.trainer import Trainer, TrainerConfig
 from nerfstudio_thermal_tpu.models.nerfacto import NerfactoModelConfig
+from nerfstudio_thermal_tpu.pipelines.dynamic_batch import DynamicBatchPipelineConfig
 from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModelConfig
 
 
@@ -45,6 +46,9 @@ class MethodConfig:
     optimizers: Dict[str, OptimizerGroupConfig] = field(default_factory=dict)
     data: Optional[Path] = None
     description: str = ""
+    dynamic_batch: Optional["DynamicBatchPipelineConfig"] = None
+    """When set, wrap the pipeline in DynamicBatchPipeline (instant-ngp:
+    reference dynamic_batch.py, pipelines/dynamic_batch.py here)."""
 
 
 def _field_opt():
@@ -319,6 +323,7 @@ def make_instant_ngp() -> MethodConfig:
         model=InstantNGPModelConfig(
             eval_num_rays_per_chunk=8192, compute_dtype="bfloat16"
         ),
+        dynamic_batch=DynamicBatchPipelineConfig(),
         optimizers={
             "fields": OptimizerGroupConfig(
                 optimizer=AdamOptimizerConfig(lr=1e-2, eps=1e-15),
@@ -695,5 +700,12 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
         num_train_data=len(datamanager.train_dataset),
         metadata=metadata,
     )
-    pipeline = VanillaPipeline(datamanager, model)
+    if config.dynamic_batch is not None:
+        from nerfstudio_thermal_tpu.pipelines.dynamic_batch import (
+            DynamicBatchPipeline,
+        )
+
+        pipeline = DynamicBatchPipeline(datamanager, model, config.dynamic_batch)
+    else:
+        pipeline = VanillaPipeline(datamanager, model)
     return Trainer(config.trainer, pipeline, config.optimizers, base_dir=base_dir)

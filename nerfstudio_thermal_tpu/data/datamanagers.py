@@ -112,10 +112,15 @@ class VanillaDataManager:
     def eval_cameras(self):
         return self.eval_dataset.cameras
 
+    # Set by DynamicBatchPipeline (power-of-two bucketed) to resize the ray
+    # batch without touching the config; None = config value.
+    num_rays_override: Optional[int] = None
+
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
+        n = self.num_rays_override or self.config.train_num_rays_per_batch
         if self._native is not None:
-            return self._native.sample(self.config.train_num_rays_per_batch)
-        return self.train_pixel_sampler.sample()
+            return self._native.sample(n)
+        return self.train_pixel_sampler.sample(n)
 
     def next_eval(self, step: int) -> Dict[str, np.ndarray]:
         return self.eval_pixel_sampler.sample()
@@ -305,10 +310,11 @@ class PrefetchingDataManager(VanillaDataManager):
 
     def _worker(self):
         while not self._stop.is_set():
+            n = self.num_rays_override or self.config.train_num_rays_per_batch
             if self._native is not None:
-                batch = self._native.sample(self.config.train_num_rays_per_batch)
+                batch = self._native.sample(n)
             else:
-                batch = self.train_pixel_sampler.sample()
+                batch = self.train_pixel_sampler.sample(n)
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)

@@ -359,6 +359,11 @@ class Trainer:
             )
         self.state, scalars = self._train_step_jit(self.state, device_batch)
         self._maybe_refine(step)
+        after = getattr(self.pipeline, "after_train_iteration", None)
+        if after is not None:
+            # DynamicBatchPipeline resizes the next ray batch (fetches a
+            # device scalar only on its update_every cadence)
+            after(scalars, step)
         return scalars
 
     def _maybe_refine(self, step: int):
@@ -381,7 +386,6 @@ class Trainer:
 
     def train(self):
         self.writer.console_log(0, {})
-        num_rays = self.datamanager.config.train_num_rays_per_batch
         t_last = time.perf_counter()
         for step in range(self._start_step, self.config.max_num_iterations):
             with self.train_lock:
@@ -394,6 +398,10 @@ class Trainer:
                 t_now = time.perf_counter()
                 iter_time = (t_now - t_last) / max(self.config.steps_per_log, 1)
                 t_last = t_now
+                num_rays = (
+                    getattr(self.datamanager, "num_rays_override", None)
+                    or self.datamanager.config.train_num_rays_per_batch
+                )
                 rays_per_sec = num_rays / max(iter_time, 1e-9)
                 scalars[EventName.TRAIN_RAYS_PER_SEC] = rays_per_sec
                 # device memory (reference logs GPU memory, trainer.py:272-283)

@@ -129,24 +129,36 @@ class InstantNGPModel(Model):
             {"params": params["fields"]}, samples, train=train
         )
         density = field_out[FieldHeadNames.DENSITY]
+        live_samples_per_ray = None
         if occupancy_grid is not None:
-            density = density * occupancy_mask(
+            mask = occupancy_mask(
                 occupancy_grid, samples.get_positions(), cfg.alpha_thre
             )
+            density = density * mask
+            # mean live (unmasked) samples per ray: drives DynamicBatchPipeline
+            # (the analogue of nerfacc's packed sample count the reference's
+            # dynamic_batch.py:60-73 divides by)
+            live_samples_per_ray = jnp.mean(jnp.sum(mask[..., 0], axis=-1))
         weights = samples.get_weights(density)
         rgb = renderers.render_rgb(
             field_out[FieldHeadNames.RGB], weights, cfg.background_color, train=train
         )
-        return {
+        out = {
             "rgb": rgb,
             "accumulation": renderers.render_accumulation(weights),
             "depth": renderers.render_depth_median(weights, samples),
             "expected_depth": renderers.render_depth_expected(weights, samples),
         }
+        if train and live_samples_per_ray is not None:
+            out["num_samples_per_ray"] = live_samples_per_ray
+        return out
 
     def get_metrics_dict(self, params, outputs, batch, train=True):
         gt = renderers.blend_background_rgb(batch["image"])
-        return {"psnr": psnr(outputs["rgb"], gt)}
+        metrics = {"psnr": psnr(outputs["rgb"], gt)}
+        if "num_samples_per_ray" in outputs:
+            metrics["num_samples_per_ray"] = outputs["num_samples_per_ray"]
+        return metrics
 
     def get_loss_dict(self, params, outputs, batch, metrics_dict, *, train=True, rng=None):
         pred, gt = renderers.blend_background_for_loss_rgb(

@@ -165,3 +165,33 @@ def test_tensorf_upsampling_mid_training(tmp_path):
     # optimizer state resized consistently (a further step still works)
     s = trainer.train_iteration(6)
     assert np.isfinite(float(s["loss"]))
+
+
+def test_dynamic_batch_pipeline(tmp_path):
+    """instant-ngp's DynamicBatchPipeline resizes the ray batch toward
+    target_num_samples using the occupancy live-sample count, quantized to
+    power-of-two jit buckets (reference pipelines/dynamic_batch.py:36-105)."""
+    from nerfstudio_thermal_tpu.configs.method_configs import (
+        get_method_config, setup_trainer,
+    )
+    from nerfstudio_thermal_tpu.pipelines.dynamic_batch import DynamicBatchPipeline
+    from tests.test_all_methods_train import make_ingp_fixture, shrink
+
+    cfg = shrink(get_method_config("instant-ngp-bounded"))
+    cfg.data = make_ingp_fixture(tmp_path / "ingp")
+    cfg.dataparser.train_split_fraction = 0.5
+    cfg.trainer.max_num_iterations = 3
+    cfg.dynamic_batch.update_every = 1
+    cfg.dynamic_batch.target_num_samples = 64
+    cfg.dynamic_batch.min_num_rays_per_batch = 8
+    cfg.dynamic_batch.max_num_rays_per_batch = 64
+    trainer = setup_trainer(cfg, base_dir=tmp_path / "out")
+    assert isinstance(trainer.pipeline, DynamicBatchPipeline)
+    trainer.setup()
+    trainer.train()
+    n = trainer.datamanager.num_rays_override
+    assert n is not None and n in {8, 16, 32, 64}, n
+    # training continues fine at the resized batch (new jit bucket)
+    scalars = trainer.train_iteration(4)
+    assert np.isfinite(float(scalars["loss"]))
+    assert float(scalars["num_samples_per_ray"]) > 0
