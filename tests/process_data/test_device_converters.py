@@ -209,3 +209,84 @@ def test_equirect_projection_samples_correct_band(tmp_path):
     assert size[0] > 0
     out = generate_planar_projections_from_equirectangular(tmp_path, (16, 16), 8)
     assert len(list(out.glob("*.jpg"))) == 8
+
+
+def test_eyeful_tower_conversion(tmp_path):
+    """EyefulTower cameras.json/splits.json -> transforms.json: column-major
+    K/T decode, intrinsic rescale, distortion remap, z-up pose permutation,
+    split filenames, subsampling (reference eyeful_tower.py:164-294)."""
+    import json
+    import numpy as np
+    from nerfstudio_thermal_tpu.process_data.eyeful_utils import (
+        eyeful_to_nerfstudio_transforms,
+        process_eyeful_capture,
+        subsample_transforms,
+    )
+
+    rng = np.random.default_rng(0)
+    cams = []
+    for i in range(4):
+        K = np.array([[2000.0, 0, 960], [0, 2010.0, 1280], [0, 0, 1]])
+        # random rigid w2c
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+        T = np.eye(4); T[:3, :3] = R; T[:3, 3] = rng.normal(size=3)
+        cams.append({
+            "cameraId": f"{i:02d}/cam{i}",
+            "width": 1920, "height": 2560,
+            "K": K.T.tolist(),  # stored column-major
+            "T": T.T.tolist(),
+            "distortionModel": "RadialAndTangential",
+            "distortion": [0.1, 0.01, 1e-3, 2e-3, 1e-4],
+        })
+    cameras = {"KRT": cams}
+    splits = {"train": [c["cameraId"] for c in cams[:3]],
+              "test": [cams[3]["cameraId"]]}
+
+    out = eyeful_to_nerfstudio_transforms("apartment", cameras, splits, 684, 1024)
+    assert out["camera_model"] == "OPENCV"
+    assert len(out["frames"]) == 4
+    f0 = out["frames"][0]
+    # portrait source keeps portrait target: 684x1024, scale = 684/1920
+    assert f0["w"] == 684 and f0["h"] == 1024
+    np.testing.assert_allclose(f0["fl_x"], 2000.0 * 684 / 1920)
+    np.testing.assert_allclose(f0["cy"], 1280.0 * 1024 / 2560)
+    assert f0["k3"] == 1e-4 and f0["p1"] == 1e-3  # [k1 k2 p1 p2 k3] remap
+    # pose: a valid rotation with the z-up permutation applied
+    M = np.array(f0["transform_matrix"])
+    R = M[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-8)
+    # camera center is preserved (permuted): inv(T)[:3,3] reordered [2,0,1]
+    center_world = np.linalg.inv(np.array(cams[0]["T"]).T)[:3, 3]
+    np.testing.assert_allclose(M[:3, 3], center_world[[2, 0, 1]], atol=1e-10)
+    assert len(out["train_filenames"]) == 3 and len(out["val_filenames"]) == 1
+
+    # fisheye variant: crop radius + 8-element distortion remap
+    for c in cams:
+        c["distortionModel"] = "Fisheye"
+        c["distortion"] = [0.1, 0.02, 0.003, 0, 0, 0, 1e-3, 2e-3]
+    fe = eyeful_to_nerfstudio_transforms("table", cameras, splits, 684, 1024)
+    assert fe["camera_model"] == "OPENCV_FISHEYE"
+    assert fe["fisheye_crop_radius"] == 0.45
+    assert fe["frames"][0]["k3"] == 0.003 and fe["frames"][0]["p2"] == 2e-3
+
+    sub = subsample_transforms(out, 2)
+    assert len(sub["frames"]) == 2
+    kept = {f["file_path"] for f in sub["frames"]}
+    assert set(sub["train_filenames"]) <= kept
+
+    # end-to-end: capture dir -> transforms.json with resolution folder prefix
+    cap = tmp_path / "apartment"
+    cap.mkdir()
+    (cap / "cameras.json").write_text(json.dumps(cameras))
+    (cap / "splits.json").write_text(json.dumps(splits))
+    dest = process_eyeful_capture(cap, resolution="jpeg_2k")
+    t = json.loads(dest.read_text())
+    assert t["frames"][0]["file_path"].startswith("images-jpeg-2k/")
+    assert all(p.startswith("images-jpeg-2k/") for p in t["train_filenames"])
