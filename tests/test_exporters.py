@@ -214,3 +214,16 @@ def test_ns_export_end_to_end(tmp_path):
     assert (out / "tex" / "mesh.obj").exists()
     assert (out / "tex" / "texture.png").exists()
     assert (out / "tex" / "mesh.mtl").exists()
+
+    # ns-texture: texture the existing marching-cubes mesh (decimated)
+    from nerfstudio_thermal_tpu.scripts.texture import main as texture_main
+
+    rc = texture_main([
+        "--load-config", str(config_path),
+        "--input-mesh-filename", str(out / "mc" / "sdf_marching_cubes_mesh.ply"),
+        "--output-dir", str(out / "tex2"),
+        "--px-per-uv-triangle", "4", "--target-num-faces", "200",
+    ])
+    assert rc == 0
+    assert (out / "tex2" / "mesh.obj").exists()
+    assert (out / "tex2" / "texture.png").exists()
