@@ -164,6 +164,7 @@ class Trainer:
                           "accumulation", "expected_depth"],
             port=self.config.viewer_port,
             train_lock=self.train_lock,
+            save_dir=self.base_dir,
         )
         self._viewer.start(block=False)
 

@@ -46,6 +46,7 @@ def main(argv=None) -> int:
         make_model_render_fn(model, lambda: params),
         output_names=names,
         port=port,
+        save_dir=load_config.parent,
     )
     server.start(block=True)
     return 0

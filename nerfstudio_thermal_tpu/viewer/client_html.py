@@ -23,6 +23,16 @@ CLIENT_HTML = r"""<!DOCTYPE html>
     <option value="1920">1920</option>
   </select></div>
   <div id="stats">connecting...</div>
+  <div>
+    <button id="addkf">+ keyframe</button>
+    <button id="clearkf">clear</button>
+    <span id="kfcount">0 kf</span>
+  </div>
+  <div>
+    fps <input id="fps" type="number" value="24" style="width:3em"/>
+    sec <input id="seconds" type="number" value="4" style="width:3em"/>
+    <button id="exportpath">export path</button>
+  </div>
 </div>
 <canvas id="view"></canvas>
 <script>
@@ -66,6 +76,30 @@ canvas.addEventListener('wheel', e => { radius *= Math.exp(e.deltaY*0.001); dirt
 outputSel.addEventListener('change', ()=> dirty=true);
 resSel.addEventListener('change', ()=> dirty=true);
 
+// camera-path recording (render-panel analogue): collect keyframes, ask the
+// server to interpolate + save a camera_path.json for `ns-render camera-path`
+const keyframes = [];
+const kfcount = document.getElementById('kfcount');
+document.getElementById('addkf').addEventListener('click', () => {
+  keyframes.push(cameraPose());
+  kfcount.textContent = `${keyframes.length} kf`;
+});
+document.getElementById('clearkf').addEventListener('click', () => {
+  keyframes.length = 0; kfcount.textContent = '0 kf';
+});
+document.getElementById('exportpath').addEventListener('click', () => {
+  if (!ws || ws.readyState !== 1 || keyframes.length === 0) return;
+  ws.send(JSON.stringify({
+    type: 'save_path',
+    keyframes: keyframes,
+    fov: 60.0,
+    fps: parseFloat(document.getElementById('fps').value) || 24,
+    seconds: parseFloat(document.getElementById('seconds').value) || 4,
+    width: parseInt(resSel.value) * 2,
+    height: Math.round(parseInt(resSel.value) * 2 * 9 / 16),
+  }));
+});
+
 function connect() {
   ws = new WebSocket(`ws://${location.hostname}:${parseInt(location.port)+1}`);
   ws.binaryType = 'arraybuffer';
@@ -83,6 +117,8 @@ function connect() {
         }
       } else if (msg.type === 'stats') {
         stats.textContent = `${msg.render_ms.toFixed(0)} ms  ${msg.width}x${msg.height}`;
+      } else if (msg.type === 'saved') {
+        stats.textContent = msg.error ? `export failed: ${msg.error}` : `saved ${msg.path}`;
       }
       return;
     }

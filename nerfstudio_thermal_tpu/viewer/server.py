@@ -47,12 +47,15 @@ class ViewerServer:
         output_names,
         port: int = 7007,
         train_lock: Optional[threading.Lock] = None,
+        save_dir=None,
     ):
-        """render_fn(c2w [3,4], width, height, output_name) -> image [H,W,3]."""
+        """render_fn(c2w [3,4], width, height, output_name) -> image [H,W,3].
+        save_dir: where exported camera paths are written (default cwd)."""
         self.render_fn = render_fn
         self.output_names = list(output_names)
         self.port = port
         self.train_lock = train_lock or threading.Lock()
+        self.save_dir = save_dir
         self._http = None
         self._thread = None
 
@@ -80,6 +83,17 @@ class ViewerServer:
                 try:
                     msg = json.loads(message)
                 except json.JSONDecodeError:
+                    continue
+                if msg.get("type") == "save_path":
+                    try:
+                        path = self.save_camera_path(msg)
+                        await ws.send(
+                            json.dumps({"type": "saved", "path": str(path)})
+                        )
+                    except Exception as e:
+                        await ws.send(
+                            json.dumps({"type": "saved", "error": str(e)})
+                        )
                     continue
                 if msg.get("type") != "camera":
                     continue
@@ -115,6 +129,64 @@ class ViewerServer:
         # serialize against training (reference trainer.py:113,239 train_lock)
         with self.train_lock:
             return self.render_fn(c2w, width, height, output)
+
+    def save_camera_path(self, msg: dict):
+        """Viewer render-panel analogue (reference viewer/render_panel.py):
+        interpolate the recorded keyframes (lerp positions, slerp rotations)
+        into a camera_path.json consumable by `ns-render camera-path`."""
+        from pathlib import Path
+
+        from nerfstudio_thermal_tpu.cameras.camera_paths import (
+            _quat_to_rot, _rot_to_quat, _slerp,
+        )
+
+        keyframes = [np.asarray(k, np.float32) for k in msg["keyframes"]]
+        if not keyframes:
+            raise ValueError("no keyframes recorded")
+        fps = float(msg.get("fps", 24.0))
+        seconds = float(msg.get("seconds", 4.0))
+        fov = float(msg.get("fov", 60.0))
+        width = int(msg.get("width", 1920))
+        height = int(msg.get("height", 1080))
+        total = max(int(round(fps * seconds)), 1)
+
+        poses = []
+        if len(keyframes) == 1:
+            poses = [keyframes[0]] * total
+        else:
+            nseg = len(keyframes) - 1
+            per_seg = max(total // nseg, 1)
+            for i in range(nseg):
+                a, b = keyframes[i], keyframes[i + 1]
+                q0, q1 = _rot_to_quat(a[:3, :3]), _rot_to_quat(b[:3, :3])
+                for s in range(per_seg):
+                    t = s / per_seg
+                    rot = _quat_to_rot(_slerp(q0, q1, t))
+                    trans = (1 - t) * a[:3, 3] + t * b[:3, 3]
+                    poses.append(np.concatenate([rot, trans[:, None]], -1))
+            poses.append(keyframes[-1][:3, :4])
+
+        def to16(p):
+            m = np.eye(4, dtype=np.float32)
+            m[:3, :4] = p[:3, :4]
+            return m.reshape(-1).tolist()
+
+        payload = {
+            "camera_type": "perspective",
+            "render_height": height,
+            "render_width": width,
+            "fps": fps,
+            "seconds": seconds,
+            "camera_path": [
+                {"camera_to_world": to16(p), "fov": fov} for p in poses
+            ],
+        }
+        out_dir = Path(self.save_dir or ".") / "camera_paths"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        dest = out_dir / f"viewer_path_{int(time.time())}.json"
+        dest.write_text(json.dumps(payload, indent=2))
+        print(f"viewer: wrote camera path {dest} ({len(poses)} frames)")
+        return dest
 
 
 def _to_jpeg(img: np.ndarray) -> bytes:

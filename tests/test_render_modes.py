@@ -57,3 +57,46 @@ def test_render_camera_path_and_interpolated(tmp_path):
     ])
     assert rc == 0
     assert len(list((tmp_path / "interp_frames").glob("*.png"))) >= 1
+
+
+def test_viewer_camera_path_export_renders(tmp_path):
+    """ViewerServer.save_camera_path writes a camera_path.json (keyframe
+    slerp/lerp interpolation, reference viewer/render_panel.py) that
+    `ns-render camera-path` consumes directly."""
+    from nerfstudio_thermal_tpu.scripts.render import main as ns_render
+    from nerfstudio_thermal_tpu.viewer.server import ViewerServer
+
+    config_path = _train_tiny(tmp_path)
+
+    server = ViewerServer(
+        render_fn=lambda *a: None, output_names=["rgb"],
+        save_dir=tmp_path / "run",
+    )
+    # two keyframes looking at the origin from different azimuths
+    def pose(angle):
+        eye = 3.0 * np.array([np.cos(angle), np.sin(angle), 0.3])
+        f = -eye / np.linalg.norm(eye)
+        r = np.cross(f, [0, 0, 1.0]); r /= np.linalg.norm(r)
+        u = np.cross(r, f)
+        return np.concatenate(
+            [np.stack([r, u, -f], -1), eye[:, None]], -1
+        ).tolist()
+
+    dest = server.save_camera_path({
+        "keyframes": [pose(0.0), pose(1.0)],
+        "fov": 55.0, "fps": 4, "seconds": 1.5, "width": 32, "height": 24,
+    })
+    path_json = json.loads(Path(dest).read_text())
+    assert path_json["render_width"] == 32
+    assert len(path_json["camera_path"]) == 7  # 4*1.5 rounded + final keyframe
+    # rotations stay orthonormal through slerp
+    M = np.array(path_json["camera_path"][3]["camera_to_world"]).reshape(4, 4)
+    np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3), atol=1e-5)
+
+    rc = ns_render([
+        "camera-path", "--load-config", str(config_path),
+        "--camera-path-filename", str(dest),
+        "--output-path", str(tmp_path / "frames"),
+    ])
+    assert rc == 0
+    assert list((tmp_path / "frames").glob("**/*.png"))
