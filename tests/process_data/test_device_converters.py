@@ -290,3 +290,52 @@ def test_eyeful_tower_conversion(tmp_path):
     t = json.loads(dest.read_text())
     assert t["frames"][0]["file_path"].startswith("images-jpeg-2k/")
     assert all(p.startswith("images-jpeg-2k/") for p in t["train_filenames"])
+
+
+def test_nuscenes_mask_geometry():
+    """Cuboid face rasterization + dynamic-instance chain walk
+    (reference scripts/datasets/process_nuscenes_masks.py:76-125)."""
+    import numpy as np
+    from nerfstudio_thermal_tpu.scripts.datasets.process_nuscenes_masks import (
+        instance_is_dynamic,
+        project_points,
+        rasterize_cuboid,
+    )
+
+    # unit cube 5m in front of a 100x100 camera with f=100, c=(50,50)
+    K = np.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+    corners = np.array([
+        [-0.5, 0.5, 0.5, -0.5, -0.5, 0.5, 0.5, -0.5],   # x
+        [-0.5, -0.5, 0.5, 0.5, -0.5, -0.5, 0.5, 0.5],   # y
+        [4.5, 4.5, 4.5, 4.5, 5.5, 5.5, 5.5, 5.5],       # z
+    ])
+    pts = project_points(corners, K)
+    assert pts.shape == (8, 2)
+    # front face center projects to image center
+    np.testing.assert_allclose(pts[:4].mean(0), [50, 50], atol=1.0)
+
+    mask = np.ones((100, 100), np.uint8)
+    rasterize_cuboid(mask, pts)
+    assert mask[50, 50] == 0          # cuboid interior masked
+    assert mask[5, 5] == 1            # far corner untouched
+    # masked region ~ front face extent (0.5/4.5 * 100 ~ 11 px half-width)
+    assert 300 < (mask == 0).sum() < 800
+
+    # dynamic chain walk on a stub devkit
+    class StubNusc:
+        def __init__(self, speeds):
+            self.speeds = speeds
+        def box_velocity(self, tok):
+            v = self.speeds[int(tok)]
+            return np.array([v, 0, 0])
+        def get(self, table, tok):
+            nxt = str(int(tok) + 1) if int(tok) + 1 < len(self.speeds) else ""
+            return {"next": nxt}
+
+    inst = {"first_annotation_token": "0"}
+    assert not instance_is_dynamic(StubNusc([0.1, 0.2, 0.3]), inst, 0.75)
+    assert instance_is_dynamic(StubNusc([0.1, 2.0, 0.1]), inst, 0.75)
+
+    from nerfstudio_thermal_tpu.scripts.datasets.process_nuscenes_masks import main
+    assert main(["--help"]) == 0
+    assert main(["--data-dir", "/nonexistent", "--output-dir", "/tmp/x"]) == 1  # devkit gated
