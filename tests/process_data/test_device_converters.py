@@ -339,3 +339,63 @@ def test_nuscenes_mask_geometry():
     from nerfstudio_thermal_tpu.scripts.datasets.process_nuscenes_masks import main
     assert main(["--help"]) == 0
     assert main(["--data-dir", "/nonexistent", "--output-dir", "/tmp/x"]) == 1  # devkit gated
+
+
+def test_project_aria_frame_math(tmp_path):
+    """Aria FISHEYE624 frame conversion: pose composition with
+    T_ARIA_NERFSTUDIO, projection-param unpacking, nearest-pose lookup,
+    crop-radius scaling (reference scripts/datasets/process_project_aria.py)."""
+    import numpy as np
+    from nerfstudio_thermal_tpu.scripts.datasets.process_project_aria import (
+        T_ARIA_NERFSTUDIO,
+        aria_frame_to_nerfstudio,
+        main,
+        nearest_pose_index,
+        rgb_valid_radius,
+    )
+
+    # identity device pose & device->camera: frame pose == T_ARIA_NERFSTUDIO
+    p = np.concatenate([[610.9, 716.1, 716.9], np.arange(12) * 0.01, [99.0]])
+    frame = aria_frame_to_nerfstudio(
+        np.eye(4), np.eye(4), p, 1408, 1408, "camera-rgb_1.jpg", 1,
+    )
+    np.testing.assert_allclose(frame["transform_matrix"], T_ARIA_NERFSTUDIO)
+    assert frame["fl_x"] == frame["fl_y"] == 610.9
+    assert frame["cx"] == 716.1 and frame["cy"] == 716.9
+    assert frame["distortion_params"] == (np.arange(12) * 0.01).tolist()  # 16th param dropped
+
+    # composition order: world <- device <- camera <- axis flip
+    t_wd = np.eye(4); t_wd[:3, 3] = [1, 2, 3]
+    t_dc = np.eye(4); t_dc[:3, :3] = [[0, -1, 0], [1, 0, 0], [0, 0, 1]]
+    f2 = aria_frame_to_nerfstudio(t_wd, t_dc, p, 704, 704, "x.jpg", 2)
+    expected = t_wd @ t_dc @ T_ARIA_NERFSTUDIO
+    np.testing.assert_allclose(f2["transform_matrix"], expected)
+
+    assert nearest_pose_index(np.array([0, 10, 20]), 15) == 2
+    assert nearest_pose_index(np.array([0, 10, 20]), 10) == 1
+    assert nearest_pose_index(np.array([0, 10, 20]), 99) == 2  # clipped
+
+    assert rgb_valid_radius(1408) == 707.5
+    assert rgb_valid_radius(704) == 353.75
+
+    assert main(["--help"]) == 0
+    assert main(["--bogus", "x"]) == 2
+    assert main(["--vrs-file", str(tmp_path / "no.vrs"),
+                 "--mps-data-dir", str(tmp_path),
+                 "--output-dir", str(tmp_path / "out")]) == 1  # toolkit gated
+
+
+def test_camera_model_name_mapping_complete():
+    """Every transforms.json camera_model name maps to the right CameraType
+    (reference cameras.py:54-67; FISHEYE624 regression: aria datasets)."""
+    from nerfstudio_thermal_tpu.cameras.cameras import CameraType
+    from nerfstudio_thermal_tpu.data.dataparsers.nerfstudio_dataparser import (
+        CAMERA_MODEL_TO_TYPE,
+    )
+
+    assert CAMERA_MODEL_TO_TYPE["FISHEYE624"] == CameraType.FISHEYE624
+    assert CAMERA_MODEL_TO_TYPE["VR180_L"] == CameraType.VR180_L
+    assert CAMERA_MODEL_TO_TYPE["OMNIDIRECTIONALSTEREO_R"] == (
+        CameraType.OMNIDIRECTIONALSTEREO_R
+    )
+    assert CAMERA_MODEL_TO_TYPE["SIMPLE_RADIAL"] == CameraType.PERSPECTIVE
