@@ -71,6 +71,16 @@ class ThermalNerfactoModelConfig(NerfactoModelConfig):
     cross_channel_loss_mult: float = 1e-6
     removal_min_density_diff: float = 0.05
     use_proposal_thermal_weight_anneal: bool = False
+    fused_modalities: bool = False
+    """TPU fast path for density_mode='separate' training: run the RGB and
+    thermal pipelines (proposal hierarchy -> field -> render, plus the
+    cross-density evals) as ONE vmapped program over a stacked modality axis
+    instead of two sequential fusion chains. Halves the XLA kernel count (the
+    v5e step is a long tail of small fusions, so dispatch overhead — not
+    FLOPs — dominates). The thermal head is padded to 3 channels so the two
+    fields' params stack; channel 0 is the thermal output. Numerically
+    equivalent to the unfused path (tested); eval keeps the unfused path
+    (removal rendering etc.)."""
     camera_optimizer_thermal: CameraOptimizerConfig = dataclass_field(
         default_factory=lambda: CameraOptimizerConfig(mode="SO3xR3", penalty_scale=10)
     )
@@ -131,7 +141,9 @@ class ThermalNerfactoModel(NerfactoModel):
                 use_spatial_distortion=not cfg.disable_scene_contraction,
                 use_average_appearance_embedding=cfg.use_average_appearance_embedding,
                 appearance_embedding_dim=cfg.appearance_embed_dim,
-                num_channels=1,
+                # fused path: 3 channels so both fields' head params stack
+                # (channel 0 is the thermal value; the extra 2 see no loss)
+                num_channels=3 if cfg.fused_modalities else 1,
                 compute_dtype=compute_dtype,
                 use_pallas=cfg.use_pallas,
                 field_encoding=cfg.field_encoding,
@@ -228,6 +240,16 @@ class ThermalNerfactoModel(NerfactoModel):
     ):
         """(reference thermal_nerfacto.py:403-489)."""
         cfg = self.config
+        if (
+            cfg.density_mode == "separate"
+            and cfg.fused_modalities
+            and train
+            and rng is not None
+        ):
+            return self._get_outputs_fused(
+                params, ray_bundle, rng=rng, anneal=anneal, updated=updated,
+                anneal_thermal=anneal_thermal, updated_thermal=updated_thermal,
+            )
         rng_rgb, rng_t = (
             jax.random.split(rng) if rng is not None else (None, None)
         )
@@ -296,6 +318,8 @@ class ThermalNerfactoModel(NerfactoModel):
                 )
             )
             for k, v in thermal_outputs.items():
+                if k == "rgb":
+                    v = v[..., :1]  # fused configs pad the head to 3 channels
                 outputs[f"{k}_thermal"] = v
 
             if cfg.density_loss_mult > 0 or not train:
@@ -357,7 +381,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 )
                 w_rm_t = ray_samples.get_weights(outputs["density_thermal"] * mask_t)
                 outputs["removal_thermal"] = renderers.render_rgb(
-                    fo_t[FieldHeadNames.RGB], w_rm_t,
+                    fo_t[FieldHeadNames.RGB][..., :1], w_rm_t,
                     background_color=cfg.background_color, train=train,
                 )
 
@@ -368,6 +392,133 @@ class ThermalNerfactoModel(NerfactoModel):
         if train:
             outputs["weights_list"] = weights_list
             outputs["ray_samples_list"] = ray_samples_list
+        return outputs
+
+    # ------------------------------------------------------------------
+
+    def _get_outputs_fused(
+        self, params, ray_bundle: RayBundle, *, rng, anneal, updated,
+        anneal_thermal, updated_thermal,
+    ):
+        """Both modality pipelines as ONE vmapped program over a stacked
+        [2, ...] axis (RGB first, thermal second). Same semantics as the
+        sequential path in get_outputs (reference thermal_nerfacto.py:403-458)
+        with half the XLA kernels: every fusion processes both modalities."""
+        cfg = self.config
+        rng_rgb, rng_t = jax.random.split(rng)
+
+        bundle_rgb = self._apply_camera_opt(
+            params, ray_bundle, "shared_camera_opt", self.shared_camera_optimizer
+        )
+        bundle_rgb = self._apply_camera_opt(
+            params, bundle_rgb, "camera_opt", self.camera_optimizer
+        )
+        bundle_t = self._apply_camera_opt(
+            params, ray_bundle, "shared_camera_opt_thermal",
+            self.shared_camera_optimizer_thermal,
+        )
+        bundle_t = self._apply_camera_opt(
+            params, bundle_t, "camera_opt_thermal", self.camera_optimizer_thermal
+        )
+
+        stack = lambda a, b: jax.tree.map(lambda x, y: jnp.stack([x, y]), a, b)
+        bundles = stack(bundle_rgb, bundle_t)
+        field_params = stack(params["fields"], params["fields_thermal"])
+        prop_params = stack(
+            params["proposal_networks"], params["proposal_networks_thermal"]
+        )
+        rngs = jnp.stack([rng_rgb, rng_t])
+        anneals = jnp.stack(
+            [jnp.asarray(anneal, jnp.float32), jnp.asarray(anneal_thermal, jnp.float32)]
+        )
+        updateds = jnp.stack(
+            [jnp.asarray(updated, bool), jnp.asarray(updated_thermal, bool)]
+        )
+
+        nets = self.proposal_networks
+        field = self.field  # same architecture as field_thermal when fused
+
+        def pipeline(fp, pp, bundle, key, anneal_i, updated_i):
+            fns = [
+                (lambda pos, p=pp[str(i)], net=nets[i]: net.apply({"params": p}, pos))
+                for i in range(len(nets))
+            ]
+            ray_samples, weights_list, ray_samples_list = proposal_sample(
+                bundle, fns,
+                num_proposal_samples_per_ray=cfg.num_proposal_samples_per_ray,
+                num_nerf_samples_per_ray=cfg.num_nerf_samples_per_ray,
+                initial_spacing_kind=(
+                    "uniform" if cfg.proposal_initial_sampler == "uniform"
+                    else "piecewise"
+                ),
+                single_jitter=cfg.use_single_jitter,
+                anneal=anneal_i, updated=updated_i, train=True, rng=key,
+            )
+            field_outputs = field.apply({"params": fp}, ray_samples, train=True)
+            if cfg.use_gradient_scaling:
+                field_outputs = scale_gradients_by_distance_squared(
+                    field_outputs, ray_samples
+                )
+            weights = ray_samples.get_weights(
+                field_outputs[FieldHeadNames.DENSITY]
+            )
+            weights_list = weights_list + [weights]
+            ray_samples_list = ray_samples_list + [ray_samples]
+            out = {
+                "rgb": renderers.render_rgb(
+                    field_outputs[FieldHeadNames.RGB], weights,
+                    background_color=cfg.background_color, train=True,
+                ),
+                "accumulation": renderers.render_accumulation(weights),
+                "depth": jax.lax.stop_gradient(
+                    renderers.render_depth_median(weights, ray_samples)
+                ),
+                "expected_depth": renderers.render_depth_expected(
+                    weights, ray_samples
+                ),
+                "density": field_outputs[FieldHeadNames.DENSITY],
+            }
+            return out, weights_list, ray_samples_list, ray_samples
+
+        s_out, s_wl, s_rsl, s_rs = jax.vmap(pipeline)(
+            field_params, prop_params, bundles, rngs, anneals, updateds
+        )
+
+        take = lambda tree, i: jax.tree.map(lambda x: x[i], tree)
+        outputs = {k: v[0] for k, v in s_out.items()}
+        for k, v in s_out.items():
+            outputs[f"{k}_thermal"] = v[1][..., :1] if k == "rgb" else v[1]
+        outputs["weights_list"] = [w[0] for w in s_wl]
+        outputs["weights_list_thermal"] = [w[1] for w in s_wl]
+        outputs["ray_samples_list"] = [take(rs, 0) for rs in s_rsl]
+        outputs["ray_samples_list_thermal"] = [take(rs, 1) for rs in s_rsl]
+
+        if cfg.density_loss_mult > 0:
+            # Cross-field density: each field at the OTHER field's samples —
+            # one vmapped density chain over (params, flipped samples).
+            frac = cfg.density_loss_rays_fraction
+            num_rays = s_rs.starts.shape[1]
+            k = max(int(num_rays * frac) // 256 * 256, min(256, num_rays)) \
+                if frac < 1.0 else num_rays
+            sub = (
+                jax.tree.map(lambda x: x[:, :k], s_rs) if k < num_rays else s_rs
+            )
+            swapped = jax.tree.map(lambda x: jnp.flip(x, axis=0), sub)
+
+            def cross_density(fp, samples):
+                d, _ = field.apply(
+                    {"params": fp}, samples.get_positions(),
+                    method=field.get_density,
+                )
+                if cfg.use_gradient_scaling:
+                    d = scale_gradients_by_distance_squared(
+                        {FieldHeadNames.DENSITY: d}, samples
+                    )[FieldHeadNames.DENSITY]
+                return d
+
+            d_cross = jax.vmap(cross_density)(field_params, swapped)
+            outputs["density2"] = d_cross[0]          # RGB field @ thermal samples
+            outputs["density2_thermal"] = d_cross[1]  # thermal field @ RGB samples
         return outputs
 
     # ------------------------------------------------------------------

@@ -144,3 +144,53 @@ def test_anneal_and_update_schedule():
     assert not bool(updated2) and int(counter2) == 2
     updated3, _ = proposal_updated(jnp.asarray(4000), jnp.asarray(10), 5000, 5)
     assert bool(updated3)
+
+
+def test_fused_modalities_matches_sequential():
+    """fused_modalities runs both modality pipelines as one vmapped program;
+    outputs and gradients must match the sequential path bit-for-bit up to
+    float tolerance (same params: the thermal head is 3-channel in fused
+    configs, channel 0 is the thermal value)."""
+    import jax.flatten_util
+
+    cfg = tiny_config(
+        density_mode="separate", fused_modalities=True,
+        compute_dtype="float32", density_loss_rays_fraction=1.0,
+    )
+    aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+    model = ThermalNerfactoModel(
+        cfg, aabb, num_train_data=4, metadata={"is_thermal": [0, 1, 0, 1]}
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    R = 16
+    bundle = make_bundle(R)
+    bundle = bundle.replace(
+        nears=jnp.full((R, 1), 0.1), fars=jnp.full((R, 1), 5.0)
+    )
+    rng = jax.random.PRNGKey(7)
+
+    out_fused = model.get_outputs(params, bundle, train=True, rng=rng)
+    model.config.fused_modalities = False
+    out_seq = model.get_outputs(params, bundle, train=True, rng=rng)
+
+    for k in ("rgb", "rgb_thermal", "density", "density_thermal",
+              "accumulation", "accumulation_thermal",
+              "density2", "density2_thermal"):
+        np.testing.assert_allclose(
+            np.asarray(out_fused[k]), np.asarray(out_seq[k]),
+            atol=2e-5, rtol=2e-5, err_msg=k,
+        )
+    assert out_fused["rgb_thermal"].shape[-1] == 1
+
+    def loss_fn(p, fused):
+        model.config.fused_modalities = fused
+        out = model.get_outputs(p, bundle, train=True, rng=rng)
+        batch = make_batch(R)
+        m = model.get_metrics_dict(p, out, batch, train=True)
+        losses = model.get_loss_dict(p, out, batch, m, train=True, rng=rng)
+        return sum(jax.tree.leaves(losses))
+
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(lambda p: loss_fn(p, True))(params))
+    g2, _ = jax.flatten_util.ravel_pytree(jax.grad(lambda p: loss_fn(p, False))(params))
+    assert np.isfinite(np.asarray(g1)).all()
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-5, rtol=5e-4)
