@@ -15,6 +15,7 @@ vs_baseline is value / 200_000: the reference publishes no numbers
 rays/s of tcnn-backed nerfacto-class models on a single A100.
 """
 
+import functools
 import json
 import time
 
@@ -88,7 +89,7 @@ def build_setup(method_name: str):
 
     import optax
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, key, batch):
         def loss_fn(p):
             bundle = ray_generator(batch["ray_indices"])

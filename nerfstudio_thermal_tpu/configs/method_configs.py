@@ -160,10 +160,11 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
         # cross-spectral density regularizer on a 25% ray subsample
         # (unbiased; saves ~28% of the step — see the config docstring)
         cfg.model.density_loss_rays_fraction = 0.25
-    if hasattr(cfg.model, "fused_modalities"):
-        # both modality pipelines as one vmapped program (halves the XLA
-        # kernel count; the v5e step is dispatch-bound, not FLOP-bound)
-        cfg.model.fused_modalities = True
+    # fused_modalities (one vmapped program for both modality pipelines)
+    # measured SLOWER on v5e: 67.2 vs 59.4 ms/step and 216 s vs 49 s compile —
+    # the step is not dispatch-bound, and the stacked [2, N, ...] layouts
+    # vectorize worse than two sequential chains. Left available as a config
+    # knob (numerics regression-tested); off in the flagship.
     # Leaner sampling schedule for MLP fields: per-sample cost is ~100x a
     # hash lookup, and (128,48)/32 matched (256,96)/48 PSNR within noise on
     # the synthetic validation scene (tests/engine/test_convergence.py

@@ -75,12 +75,14 @@ class ThermalNerfactoModelConfig(NerfactoModelConfig):
     """TPU fast path for density_mode='separate' training: run the RGB and
     thermal pipelines (proposal hierarchy -> field -> render, plus the
     cross-density evals) as ONE vmapped program over a stacked modality axis
-    instead of two sequential fusion chains. Halves the XLA kernel count (the
-    v5e step is a long tail of small fusions, so dispatch overhead — not
-    FLOPs — dominates). The thermal head is padded to 3 channels so the two
-    fields' params stack; channel 0 is the thermal output. Numerically
-    equivalent to the unfused path (tested); eval keeps the unfused path
-    (removal rendering etc.)."""
+    instead of two sequential fusion chains, halving the XLA kernel count.
+    The thermal head is padded to 3 channels so the two fields' params stack;
+    channel 0 is the thermal output. Numerically equivalent to the unfused
+    path (regression-tested); eval keeps the unfused path (removal rendering
+    etc.). MEASURED SLOWER on v5e (67.2 vs 59.4 ms/step, 216 s vs 49 s
+    compile: the stacked [2, N, ...] layouts vectorize worse than two
+    sequential chains), so the flagship keeps it OFF; the knob remains for
+    other TPU generations."""
     camera_optimizer_thermal: CameraOptimizerConfig = dataclass_field(
         default_factory=lambda: CameraOptimizerConfig(mode="SO3xR3", penalty_scale=10)
     )
