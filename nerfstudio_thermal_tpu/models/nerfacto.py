@@ -59,6 +59,15 @@ class NerfactoModelConfig(ModelConfig):
     num_nerf_samples_per_ray: int = 48
     proposal_update_every: int = 5
     proposal_warmup: int = 5000
+    proposal_camera_gradients: bool = True
+    """Let camera-optimizer pose gradients flow through the PROPOSAL density
+    fields (reference behavior). The proposal levels evaluate the frequency
+    encoding on the largest tensors of the step (rays x 128 samples), and
+    their position-gradient chain runs in f32 — it exists only to add a
+    second-order term to the camera-pose gradient (the base field's
+    contribution dominates). False stops position gradients into proposal
+    fields only: proposal params still train through the interlevel loss,
+    camera opt still trains through the base field."""
     num_proposal_iterations: int = 2
     use_same_proposal_network: bool = False
     proposal_net_args_list: List[Dict] = dataclass_field(
@@ -231,6 +240,8 @@ class NerfactoModel(Model):
             p = params["proposal_networks"][str(j)]
 
             def fn(positions, net=net, p=p):
+                if not self.config.proposal_camera_gradients:
+                    positions = jax.lax.stop_gradient(positions)
                 return net.apply({"params": p}, positions)
 
             fns.append(fn)

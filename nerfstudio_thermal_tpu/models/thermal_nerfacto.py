@@ -221,6 +221,8 @@ class ThermalNerfactoModel(NerfactoModel):
             p = params["proposal_networks_thermal"][str(i)]
 
             def fn(positions, net=net, p=p):
+                if not self.config.proposal_camera_gradients:
+                    positions = jax.lax.stop_gradient(positions)
                 return net.apply({"params": p}, positions)
 
             fns.append(fn)
@@ -441,10 +443,14 @@ class ThermalNerfactoModel(NerfactoModel):
         field = self.field  # same architecture as field_thermal when fused
 
         def pipeline(fp, pp, bundle, key, anneal_i, updated_i):
-            fns = [
-                (lambda pos, p=pp[str(i)], net=nets[i]: net.apply({"params": p}, pos))
-                for i in range(len(nets))
-            ]
+            def make_fn(i):
+                def fn(pos, p=pp[str(i)], net=nets[i]):
+                    if not cfg.proposal_camera_gradients:
+                        pos = jax.lax.stop_gradient(pos)
+                    return net.apply({"params": p}, pos)
+                return fn
+
+            fns = [make_fn(i) for i in range(len(nets))]
             ray_samples, weights_list, ray_samples_list = proposal_sample(
                 bundle, fns,
                 num_proposal_samples_per_ray=cfg.num_proposal_samples_per_ray,
