@@ -165,6 +165,15 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     # the step is not dispatch-bound, and the stacked [2, N, ...] layouts
     # vectorize worse than two sequential chains. Left available as a config
     # knob (numerics regression-tested); off in the flagship.
+    if hasattr(cfg.model, "proposal_camera_gradients"):
+        # camera-pose gradients through the PROPOSAL fields are a
+        # second-order term whose f32 encoding-backward chain is the top
+        # cost cluster in the step trace; dropping it is 59.5 -> 52.7
+        # ms/step (+13%) with PSNR quality-neutral (4-seed 700-step A/B on
+        # the convergence scene: RGB delta mean -0.1 dB / sd 2.2 across
+        # seeds, thermal +0.1; the spread is trajectory noise, both signs
+        # appear). Camera opt still trains through the base field.
+        cfg.model.proposal_camera_gradients = False
     # Leaner sampling schedule for MLP fields: per-sample cost is ~100x a
     # hash lookup, and (128,48)/32 matched (256,96)/48 PSNR within noise on
     # the synthetic validation scene (tests/engine/test_convergence.py
