@@ -150,12 +150,14 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     cfg.model.field_encoding = "freq"
     cfg.model.proposal_net_args_list = copy.deepcopy(_FREQ_PROPOSAL_ARGS)
     cfg.model.compute_dtype = "bfloat16"
-    # XLA beats the fused-MLP Pallas kernel on the current libtpu (measured:
-    # naked 8x256 fwd+bwd 5.5 ms XLA at 186 TFLOP/s vs 6.8 ms Pallas; whole
-    # step 131 ms XLA vs 201 ms Pallas — the kernel hurts most on the small
-    # 64-wide proposal MLPs). ops/pallas/fused_mlp.py remains available via
-    # use_pallas=True.
-    cfg.model.use_pallas = False
+    # With dimension_semantics declared (parallel fwd / arbitrary bwd) the
+    # fused Pallas base MLP BEATS XLA 1.5x (9.75 vs 14.75 ms fwd+bwd on the
+    # 8x256+skip+enc workload) — it keeps activations in VMEM where XLA's
+    # layer-by-layer is HBM-bound at roofline. MLP._fusable() restricts
+    # fusion to wide/deep stacks, so this fuses exactly the base field MLP;
+    # the 64-wide proposal/head stacks stay on XLA (Pallas loses 2.5x
+    # there: narrow matmuls waste the MXU).
+    cfg.model.use_pallas = True
     if hasattr(cfg.model, "density_loss_rays_fraction"):
         # cross-spectral density regularizer on a 25% ray subsample
         # (unbiased; saves ~28% of the step — see the config docstring)

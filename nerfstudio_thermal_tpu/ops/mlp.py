@@ -36,7 +36,8 @@ class MLP(nn.Module):
     """Run the whole stack as one Pallas kernel (ops/pallas/fused_mlp.py) —
     activations never touch HBM. Requires relu hidden activation and
     None/sigmoid output activation; interprets on CPU automatically."""
-    fused_block_size: int = 4096
+    fused_block_size: int = 2048
+    """Best measured on v5e (blk sweep: 2048 edges 1024/4096/8192)."""
     freq_encoding: Optional[Tuple[int, float, float, bool]] = None
     """(num_frequencies, min_exp, max_exp, include_input): compute the NeRF
     frequency encoding INSIDE the fused kernel (x must then be raw f32
@@ -46,13 +47,13 @@ class MLP(nn.Module):
     def _fusable(self) -> bool:
         relu_ok = self.activation in (nn.relu, jax.nn.relu)
         out_ok = self.out_activation in (None, nn.sigmoid, jax.nn.sigmoid)
-        if self.fused and self.freq_encoding is not None:
-            # Fusing the encoding also saves the encoding's HBM round-trip,
-            # which pays off at any MLP size (measured on v5e).
-            return relu_ok and out_ok
-        # Plain fusing only pays off for deep/wide stacks: for small MLPs the
-        # per-grid-step overhead exceeds the saved activation traffic and
-        # XLA's batched matmuls win (measured on v5e).
+        # Fusing only pays off for deep/wide stacks — even WITH the in-kernel
+        # frequency encoding. Measured on v5e (fwd+bwd, with
+        # dimension_semantics declared): base 8x256+skip+enc 9.75 ms Pallas
+        # vs 14.75 ms XLA (1.5x win), but 2x64+enc proposal 15.8 vs 6.4 ms
+        # (2.5x LOSS: 64-wide matmuls waste the MXU and the per-block
+        # encoding VPU work dominates). So use_pallas=True fuses exactly the
+        # base field MLP and leaves proposal/head stacks to XLA.
         big_enough = self.layer_width >= 128 and self.num_layers >= 4
         return self.fused and relu_ok and out_ok and big_enough
 

@@ -276,7 +276,12 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
         ),
         out_shape=jax.ShapeDtypeStruct((npad, out_dim), dtype),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        # parallel: point blocks are independent -> Mosaic may pipeline the
+        # per-block input DMA against compute across grid steps
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel",),
+        ),
     )(xp, *w_cast, *b_cast)
     return out[:n]
 
@@ -355,7 +360,12 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20),
+        # arbitrary (sequential): the dw/db += accumulation across grid
+        # steps requires in-order execution
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("arbitrary",),
+        ),
     )(xp, gp, *w_cast, *b_cast)
 
     dx = outs[0][:n].astype(x.dtype)
