@@ -27,16 +27,8 @@ def capture(logdir="/tmp/xla_trace"):
     num_rays = 8192
     num_cameras = 64
     h, w = 480, 640
-    cfg = ThermalNerfactoModelConfig(
-        density_mode="separate",
-        density_loss_rays_fraction=0.25,
-        num_proposal_samples_per_ray=(128, 48),
-        num_nerf_samples_per_ray=32,
-        compute_dtype="bfloat16",
-        field_encoding="freq",
-        proposal_net_args_list=list(_FREQ_PROPOSAL_ARGS),
-        use_pallas=False,
-    )
+    from nerfstudio_thermal_tpu.configs.method_configs import get_method_config
+    cfg = get_method_config("thermal-nerfacto-tpu").model  # the real flagship
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     model = ThermalNerfactoModel(
         cfg, aabb, num_train_data=num_cameras,
