@@ -138,7 +138,7 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
                 "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
                 "config": method_name,
                 "note": (
-                    "r2 terminal is ~1.7x slower than r1 (same code: 70.5k r1 -> 40.4k measured at r2 start before optimization)"
+                    "r2: 40.4k (r2-start, r1 code on this ~1.7x-slower terminal) -> 176k via pallas-on(base)/lean-schedule/25%-cross-density/no-proposal-camera-grads"
                     if metric == "train_rays_per_sec" else ""
                 ),
             }
