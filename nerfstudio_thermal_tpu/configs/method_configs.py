@@ -150,6 +150,14 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     cfg.model.field_encoding = "freq"
     cfg.model.proposal_net_args_list = copy.deepcopy(_FREQ_PROPOSAL_ARGS)
     cfg.model.compute_dtype = "bfloat16"
+    # Small final-layer init on the deep base MLP: at lecun init its raw
+    # density is ~unit-variance, and on few-view scenes some seeds collapse
+    # the field to empty in the first steps (measured: RGB stuck at ~9.8 dB
+    # in every ablation — not pallas/bf16/camera-opt). 0.1 starts the field
+    # near-uniform like the hash table's near-zero init and fixed the
+    # collapsing seed (9.8 -> 23.4 dB) with healthy seeds unchanged; 0.01
+    # over-flattens (thermal -4 dB on one seed).
+    cfg.model.freq_final_init_scale = 0.1
     # With dimension_semantics declared (parallel fwd / arbitrary bwd) the
     # fused Pallas base MLP BEATS XLA 1.5x (9.75 vs 14.75 ms fwd+bwd on the
     # 8x256+skip+enc workload) — it keeps activations in VMEM where XLA's

@@ -66,6 +66,11 @@ class NerfactoField(nn.Module):
     freq_num_layers: int = 8
     freq_hidden_dim: int = 256
     freq_use_skip: bool = True
+    freq_final_init_scale: float = 1.0
+    """Init scale for the base MLP's final layer (see ops/mlp.py
+    final_init_scale): <1 starts the freq field's density near-uniform like
+    the hash table's near-zero init, avoiding seed-dependent early density
+    collapse on few-view scenes."""
     """NeRF-style skip connection at the middle layer. Off in the TPU
     flagship: the 63->319 concat forces layout copies and odd-width matmuls
     (measured 5.9 -> 4.1 ms per base fwd+bwd pass without it)."""
@@ -94,6 +99,7 @@ class NerfactoField(nn.Module):
                 ),
                 compute_dtype=self.compute_dtype,
                 fused=self.use_pallas,
+                final_init_scale=self.freq_final_init_scale,
                 freq_encoding=(
                     (self.freq_num_frequencies, 0.0,
                      self.freq_num_frequencies - 1.0, True)

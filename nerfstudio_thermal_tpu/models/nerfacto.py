@@ -102,6 +102,7 @@ class NerfactoModelConfig(ModelConfig):
     freq_num_layers: int = 8
     freq_hidden_dim: int = 256
     freq_use_skip: bool = True
+    freq_final_init_scale: float = 1.0
 
 
 def proposal_anneal(step, max_iters: int, slope: float):
@@ -160,6 +161,7 @@ class NerfactoModel(Model):
             freq_num_layers=cfg.freq_num_layers,
             freq_hidden_dim=cfg.freq_hidden_dim,
             freq_use_skip=cfg.freq_use_skip,
+            freq_final_init_scale=cfg.freq_final_init_scale,
         )
 
         num_prop_nets = cfg.num_proposal_iterations

@@ -128,6 +128,7 @@ class ThermalNerfactoModel(NerfactoModel):
             freq_num_layers=cfg.freq_num_layers,
             freq_hidden_dim=cfg.freq_hidden_dim,
             freq_use_skip=cfg.freq_use_skip,
+            freq_final_init_scale=cfg.freq_final_init_scale,
         )
         if cfg.density_mode == "separate":
             self.field_thermal = ThermalNerfactoField(
@@ -153,6 +154,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 freq_num_layers=cfg.freq_num_layers,
                 freq_hidden_dim=cfg.freq_hidden_dim,
                 freq_use_skip=cfg.freq_use_skip,
+                freq_final_init_scale=cfg.freq_final_init_scale,
             )
             self.proposal_networks_thermal: List[HashMLPDensityField] = []
             for i in range(cfg.num_proposal_iterations):

@@ -43,6 +43,13 @@ class MLP(nn.Module):
     frequency encoding INSIDE the fused kernel (x must then be raw f32
     coordinates) — the tcnn NetworkWithInputEncoding analogue. Forces the
     fused path; the [N, enc_dim] encoding never touches HBM."""
+    final_init_scale: float = 1.0
+    """Scale on the LAST layer's kernel init. Deep frequency-MLP base fields
+    emit ~unit-variance raw density at lecun init, so trunc_exp starts wildly
+    noisy — the hash field's U(-1e-4,1e-4) table starts near zero instead
+    (reference encodings.py:375-379), which is why the hash configs never
+    show the seed-dependent early density collapse the freq configs can.
+    <1 starts the field near-uniform like the reference's."""
 
     def _fusable(self) -> bool:
         relu_ok = self.activation in (nn.relu, jax.nn.relu)
@@ -94,10 +101,15 @@ class MLP(nn.Module):
                 is_last = i == num_linears - 1
                 width = self.out_dim if is_last else self.layer_width
                 din = prev + (in_dim if (i in skips and i != 0) else 0)
+                init = nn.initializers.lecun_normal()
+                if is_last and self.final_init_scale != 1.0:
+                    init = nn.initializers.variance_scaling(
+                        self.final_init_scale**2, "fan_in", "truncated_normal"
+                    )
                 weights.append(
                     self.param(
                         f"Dense_{i}_kernel",
-                        nn.initializers.lecun_normal(),
+                        init,
                         (din, width),
                         jnp.float32,
                     )
@@ -127,7 +139,15 @@ class MLP(nn.Module):
             width = self.out_dim if is_last else self.layer_width
             if i in skips and i != 0:
                 x = jnp.concatenate([in_tensor, x], axis=-1)
-            x = nn.Dense(width, dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+            if is_last and self.final_init_scale != 1.0:
+                x = nn.Dense(
+                    width, dtype=self.compute_dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.variance_scaling(
+                        self.final_init_scale**2, "fan_in", "truncated_normal"
+                    ),
+                )(x)
+            else:
+                x = nn.Dense(width, dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
             if not is_last and self.activation is not None:
                 x = self.activation(x)
         if self.out_activation is not None:
