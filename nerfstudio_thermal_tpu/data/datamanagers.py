@@ -119,11 +119,11 @@ class VanillaDataManager:
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
         n = self.num_rays_override or self.config.train_num_rays_per_batch
         if self._native is not None:
-            return self._native.sample(n)
-        return self.train_pixel_sampler.sample(n)
+            return self._native.sample(n, step=step)
+        return self.train_pixel_sampler.sample(n, step=step)
 
     def next_eval(self, step: int) -> Dict[str, np.ndarray]:
-        return self.eval_pixel_sampler.sample()
+        return self.eval_pixel_sampler.sample(step=step)
 
     def next_eval_image(self, step: int) -> Tuple[int, Dict[str, np.ndarray]]:
         """(camera_index, {'image': HxWxC, 'is_thermal': scalar})."""
@@ -153,9 +153,6 @@ class FullImageDatamanager(VanillaDataManager):
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        self._train_order = None
-        self._train_pos = 0
-        self._rng = np.random.default_rng(self.config.seed)
         self._image_cache: Dict[Tuple[str, int], np.ndarray] = {}
 
     def _cached_image(self, dataset, tag: str, idx: int) -> np.ndarray:
@@ -172,13 +169,12 @@ class FullImageDatamanager(VanillaDataManager):
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
         """One random full image per step (random permutation epochs,
-        reference :395-410)."""
+        reference :395-410). The epoch permutation is a pure function of
+        (seed, epoch), so resumed runs replay the same image order."""
         n = len(self.train_dataset)
-        if self._train_order is None or self._train_pos >= n:
-            self._train_order = self._rng.permutation(n)
-            self._train_pos = 0
-        idx = int(self._train_order[self._train_pos])
-        self._train_pos += 1
+        epoch, pos = divmod(step, n)
+        order = np.random.default_rng((self.config.seed, epoch)).permutation(n)
+        idx = int(order[pos])
         return {
             "image": self._cached_image(self.train_dataset, "train", idx),
             "camera_index": np.asarray(idx, np.int32),
@@ -266,9 +262,10 @@ class RandomCamerasDataManager:
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
         """Random spherical pose + per-view angles (reference
-        random_cameras_datamanager.py `RandomCameras`)."""
+        random_cameras_datamanager.py `RandomCameras`). Stateless per step
+        for resume-equivalence."""
         cfg = self.config
-        r = self._rng
+        r = np.random.default_rng((cfg.seed, step))
         vertical = r.uniform(*cfg.vertical_rotation_range)  # degrees
         central = r.uniform(0.0, 360.0)
         radius = r.normal(cfg.radius_mean, cfg.radius_std)
@@ -305,25 +302,46 @@ class PrefetchingDataManager(VanillaDataManager):
         super().__init__(*args, **kwargs)
         self._queue: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
+        self._prefetch_step = 0
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def set_start_step(self, step: int):
+        """Realign the prefetch stream after a checkpoint load: drop queued
+        batches and restart the stateless (seed, step) sequence at `step`."""
+        self._prefetch_step = int(step)
+        while True:
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
 
     def _worker(self):
         while not self._stop.is_set():
             n = self.num_rays_override or self.config.train_num_rays_per_batch
+            s = self._prefetch_step
             if self._native is not None:
-                batch = self._native.sample(n)
+                batch = self._native.sample(n, step=s)
             else:
-                batch = self.train_pixel_sampler.sample(n)
+                batch = self.train_pixel_sampler.sample(n, step=s)
+            self._prefetch_step = s + 1
             while not self._stop.is_set():
                 try:
-                    self._queue.put(batch, timeout=0.5)
+                    self._queue.put((s, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
-        return self._queue.get()
+        # Batches are tagged with the step they were drawn for; drop any
+        # stale ones left from before a set_start_step() realignment.
+        while True:
+            tag, batch = self._queue.get()
+            if tag == step:
+                return batch
+            if tag > step:
+                # prefetch ran ahead of an unexpected rewind — sample inline
+                return super().next_train(step)
 
     def close(self):
         self._stop.set()

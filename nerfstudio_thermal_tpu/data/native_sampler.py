@@ -90,7 +90,11 @@ class NativeBatchSampler:
         self.num_threads = int(num_threads)
         self._step = 0
 
-    def sample(self, num_rays: int) -> Dict[str, np.ndarray]:
+    def sample(self, num_rays: int, step: "int | None" = None) -> Dict[str, np.ndarray]:
+        # Per-call seeding makes the draw a pure function of (seed, step);
+        # pinning `step` gives resume-equivalence after checkpoint load.
+        if step is not None:
+            self._step = int(step)
         unit = self.patch * self.patch
         num_rays = (num_rays // unit) * unit
         ray_indices = np.empty((num_rays, 3), np.int32)

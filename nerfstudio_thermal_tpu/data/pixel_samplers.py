@@ -33,6 +33,7 @@ class PixelSampler:
     def __init__(self, config: PixelSamplerConfig, dataset: InputDataset, seed: int = 0):
         self.config = config
         self.dataset = dataset
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         p = config.patch_size
         self.num_rays_per_batch = (config.num_rays_per_batch // (p * p)) * (p * p)
@@ -55,8 +56,17 @@ class PixelSampler:
         xs = (xs0[:, None, None] + dx).reshape(-1)
         return np.stack([ys, xs], -1)
 
-    def sample(self, num_rays: Optional[int] = None) -> Dict[str, np.ndarray]:
-        """Sample a ray batch: equal ray counts per image, patch-aligned."""
+    def sample(
+        self, num_rays: Optional[int] = None, step: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        """Sample a ray batch: equal ray counts per image, patch-aligned.
+
+        When `step` is given the draw is a pure function of (seed, step) —
+        stateless RNG, so a resumed run reproduces the exact batch sequence
+        of an uninterrupted one (resume-equivalence; reference restores full
+        training state at engine/trainer.py:389-453)."""
+        if step is not None:
+            self.rng = np.random.default_rng((self.seed, step))
         num_rays = num_rays or self.num_rays_per_batch
         n_images = len(self.dataset)
         p = self.config.patch_size

@@ -405,6 +405,9 @@ class Trainer:
                 )
                 rays_per_sec = num_rays / max(iter_time, 1e-9)
                 scalars[EventName.TRAIN_RAYS_PER_SEC] = rays_per_sec
+                scalars[EventName.ITER_TRAIN_TIME] = iter_time
+                remaining = self.config.max_num_iterations - step
+                scalars[EventName.ETA] = remaining * iter_time
                 # device memory (reference logs GPU memory, trainer.py:272-283)
                 try:
                     stats = jax.local_devices()[0].memory_stats() or {}
@@ -482,11 +485,16 @@ class Trainer:
 
     def eval_iteration(self, step: int):
         try:
-            metrics, _ = self.pipeline.get_eval_image_metrics_and_images(
+            metrics, images = self.pipeline.get_eval_image_metrics_and_images(
                 self.host_params(), step
             )
+            metrics.pop("_num_rays", None)
             self.writer.write_scalar_dict(metrics, step, group="eval")
             self.writer.console_log(step, metrics)
+            # GT|pred grids + prop-depth maps (reference writer put_image,
+            # utils/writer.py:149-171; thermal_nerfacto.py:504-522)
+            for name, img in images.items():
+                self.writer.write_image(f"eval/{name}", img, step)
         except Exception as e:  # eval must not kill training (reference :352-356)
             print(f"eval failed at step {step}: {e}")
 
@@ -510,6 +518,12 @@ class Trainer:
             "step": int(self.state.step),
             "steps_since_update": int(self.state.steps_since_update),
             "steps_since_update_thermal": int(self.state.steps_since_update_thermal),
+            # device RNG key: restoring it makes a resumed run bit-identical
+            # to an uninterrupted one (host sampling is stateless per step)
+            "rng": np.asarray(self.state.rng),
+            "eval_image_index": int(
+                getattr(self.datamanager, "_eval_image_index", 0)
+            ),
         }
         if self.state.extra is not None:
             ckpt["extra"] = jax.tree.map(np.asarray, self.state.extra)
@@ -543,10 +557,20 @@ class Trainer:
             "step": 0,
             "steps_since_update": 0,
             "steps_since_update_thermal": 0,
+            "rng": np.asarray(self.state.rng),
+            "eval_image_index": 0,
         }
         if self.state.extra is not None:
             template["extra"] = jax.tree.map(np.asarray, self.state.extra)
-        restored = ckptr.restore(path.absolute(), item=template)
+        try:
+            restored = ckptr.restore(path.absolute(), item=template)
+        except Exception:
+            # pre-round-3 checkpoints lack rng/eval_image_index
+            legacy = {
+                k: v for k, v in template.items()
+                if k not in ("rng", "eval_image_index")
+            }
+            restored = ckptr.restore(path.absolute(), item=legacy)
         self.state = self.state.replace(
             params=jax.tree.map(jnp.asarray, restored["params"]),
             opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
@@ -561,6 +585,17 @@ class Trainer:
                 else self.state.extra
             ),
         )
+        if "rng" in restored:
+            self.state = self.state.replace(
+                rng=jnp.asarray(restored["rng"], dtype=self.state.rng.dtype)
+            )
+        if "eval_image_index" in restored and hasattr(
+            self.datamanager, "_eval_image_index"
+        ):
+            self.datamanager._eval_image_index = int(restored["eval_image_index"])
         self.state = mesh_lib.replicate(self.state, self.mesh)
         self._start_step = int(restored["step"])
+        set_start = getattr(self.datamanager, "set_start_step", None)
+        if set_start is not None:
+            set_start(self._start_step)
         print(f"Loaded checkpoint {path} at step {self._start_step}")

@@ -97,6 +97,11 @@ class VanillaPipeline:
             )
         images["depth"] = np.concatenate(depth_panels, axis=1)
         images["accumulation"] = outputs["accumulation"]
+        # actual rendered ray count, for throughput bookkeeping (robust to
+        # eval ordering, unlike inferring the camera as i % n)
+        metrics["_num_rays"] = float(
+            np.asarray(outputs["rgb"]).shape[0] * np.asarray(outputs["rgb"]).shape[1]
+        )
         # proposal hierarchy depth maps (reference thermal_nerfacto.py:556-562)
         for k in sorted(outputs):
             if k.startswith("prop_depth_"):
@@ -115,16 +120,21 @@ class VanillaPipeline:
         import time
 
         n = len(self.datamanager.eval_dataset)
+        # Warm the jitted render path so the first image's throughput number
+        # excludes the one-off compile.
+        try:
+            self.model.get_outputs_for_camera(
+                params, self.datamanager.eval_cameras, 0, rng=rng
+            )
+        except Exception:
+            pass
         all_metrics = []
         for i in range(n):
-            cams = self.datamanager.eval_cameras
             t0 = time.perf_counter()
             m, _ = self.get_eval_image_metrics_and_images(params, step, rng=rng)
             dt = max(time.perf_counter() - t0, 1e-9)
-            # next_eval_image cycles in order, so image i has camera i % n
-            h = int(cams.height[i % len(cams)])
-            w = int(cams.width[i % len(cams)])
-            m["num_rays_per_sec"] = h * w / dt
+            num_rays = m.pop("_num_rays", 0.0)
+            m["num_rays_per_sec"] = num_rays / dt
             m["fps"] = 1.0 / dt
             all_metrics.append(m)
         keys = {k for m in all_metrics for k in m}

@@ -37,14 +37,60 @@ _IMAGENET_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)  # lpips 'shift'
 _IMAGENET_SCALE = np.array([0.458, 0.448, 0.450], np.float32)  # lpips 'scale'
 
 
+def _candidate_paths() -> List[Path]:
+    cands = []
+    env = os.environ.get("NS_LPIPS_WEIGHTS")
+    if env:
+        cands.append(Path(env))
+    # vendored next to the package, and the user cache
+    cands.append(Path(__file__).resolve().parent.parent / "data" / "lpips_vgg16.npz")
+    cands.append(Path.home() / ".nerfstudio" / "lpips_vgg16.npz")
+    return cands
+
+
+@lru_cache(maxsize=1)
+def _weights_path() -> Optional[Path]:
+    """Locate (or build) the LPIPS weight file.
+
+    Search order: $NS_LPIPS_WEIGHTS, a vendored npz in the package, the user
+    cache; as a last resort auto-convert from a locally present torchvision
+    VGG16 checkpoint + lpips package (tools/convert_lpips_weights.py logic)
+    and cache the result. In a zero-egress image with no torch checkpoints
+    the metric stays unavailable and eval omits lpips keys."""
+    for p in _candidate_paths():
+        if p.exists():
+            return p
+    try:
+        import glob
+
+        hub = Path.home() / ".cache" / "torch" / "hub" / "checkpoints"
+        vggs = sorted(glob.glob(str(hub / "vgg16-*.pth")))
+        import lpips as lpips_pkg  # noqa: F401  (needs the linear heads)
+
+        if vggs:
+            out = Path.home() / ".nerfstudio" / "lpips_vgg16.npz"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            import subprocess
+            import sys
+
+            conv = Path(__file__).resolve().parents[2] / "tools" / "convert_lpips_weights.py"
+            subprocess.run(
+                [sys.executable, str(conv), "--vgg16-pth", vggs[-1], "--out", str(out)],
+                check=True,
+            )
+            return out
+    except Exception:
+        pass
+    return None
+
+
 def lpips_available() -> bool:
-    p = os.environ.get("NS_LPIPS_WEIGHTS")
-    return bool(p) and Path(p).exists()
+    return _weights_path() is not None
 
 
 @lru_cache(maxsize=1)
 def _load_weights():
-    path = Path(os.environ["NS_LPIPS_WEIGHTS"])
+    path = _weights_path()
     data = np.load(path)
     convs = []
     for i in range(13):

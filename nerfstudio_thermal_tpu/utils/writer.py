@@ -86,6 +86,47 @@ class Writer:
             self._jsonl.write(json.dumps(record) + "\n")
             self._jsonl.flush()
 
+    def write_image(self, name: str, image, step: int):
+        """Write an eval image (HxWx3 float [0,1] or uint8) to
+        `log_dir/images/<name>/step-<N>.png` and to TB/W&B/Comet when enabled
+        (reference utils/writer.py:149-171 put_image)."""
+        import numpy as np
+
+        img = np.asarray(image)
+        if img.ndim == 2:
+            img = img[..., None]
+        if img.shape[-1] == 1:
+            img = np.repeat(img, 3, axis=-1)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        if self.log_dir is not None:
+            safe = name.replace("/", "_")
+            out_dir = self.log_dir / "images" / safe
+            out_dir.mkdir(parents=True, exist_ok=True)
+            try:
+                from PIL import Image
+
+                Image.fromarray(img).save(out_dir / f"step-{step:09d}.png")
+            except Exception as e:
+                print(f"image write failed ({name}): {e}")
+        if self._tb is not None:
+            try:
+                self._tb.add_image(name, img, step, dataformats="HWC")
+            except Exception:
+                pass
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log({name: wandb.Image(img)}, step=step)
+            except Exception:
+                pass
+        if self._comet is not None:
+            try:
+                self._comet.log_image(img, name=name, step=step)
+            except Exception:
+                pass
+
     def console_log(self, step: int, scalars: Dict[str, float]):
         if step % self.steps_per_log != 0:
             return

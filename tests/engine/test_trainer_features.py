@@ -21,6 +21,55 @@ def test_gradient_accumulation_trains(tmp_path):
     assert not np.allclose(p0, p1)  # params moved after accumulated updates
 
 
+def test_resume_equivalence(tmp_path):
+    """3 steps + save/load + 3 steps must produce the same losses as 6
+    uninterrupted steps (reference restores full train state,
+    engine/trainer.py:389-453; here device RNG is checkpointed and host
+    sampling is a pure function of (seed, step))."""
+    data = make_synthetic_rgbt_dataset(tmp_path / "data")
+
+    cfg = tiny_method("thermal-nerfacto", data, density_mode="rgb_only", max_iters=6)
+    trainer = setup_trainer(cfg, base_dir=tmp_path / "uninterrupted")
+    trainer.setup()
+    losses_full = []
+    for step in range(6):
+        scalars = trainer.train_iteration(step)
+        losses_full.append(float(scalars["loss"]))
+
+    cfg_a = tiny_method("thermal-nerfacto", data, density_mode="rgb_only", max_iters=3)
+    tr_a = setup_trainer(cfg_a, base_dir=tmp_path / "part_a")
+    tr_a.setup()
+    losses_resumed = []
+    for step in range(3):
+        losses_resumed.append(float(tr_a.train_iteration(step)["loss"]))
+    tr_a.save_checkpoint(3)
+
+    cfg_b = tiny_method("thermal-nerfacto", data, density_mode="rgb_only", max_iters=6)
+    cfg_b.trainer.load_dir = tmp_path / "part_a" / "nerfstudio_models"
+    tr_b = setup_trainer(cfg_b, base_dir=tmp_path / "part_b")
+    tr_b.setup()
+    assert tr_b._start_step == 3
+    for step in range(3, 6):
+        losses_resumed.append(float(tr_b.train_iteration(step)["loss"]))
+
+    np.testing.assert_allclose(losses_resumed, losses_full, rtol=1e-6, atol=0)
+
+
+def test_eval_image_logging(tmp_path):
+    """Eval image grids must be written to log_dir/images as PNGs
+    (reference utils/writer.py:149-171 put_image)."""
+    data = make_synthetic_rgbt_dataset(tmp_path / "data")
+    cfg = tiny_method("thermal-nerfacto", data, density_mode="rgb_only", max_iters=3)
+    cfg.trainer.steps_per_eval_image = 2
+    trainer = setup_trainer(cfg, base_dir=tmp_path / "out")
+    trainer.setup()
+    trainer.train()
+    pngs = list((tmp_path / "out" / "images").rglob("*.png"))
+    assert pngs, "no eval images written"
+    names = {p.parent.name for p in pngs}
+    assert "eval_img" in names  # GT | pred grid panel
+
+
 def test_eval_batch_cadence(tmp_path):
     data = make_synthetic_rgbt_dataset(tmp_path / "data")
     cfg = tiny_method("thermal-nerfacto", data, density_mode="rgb_only", max_iters=3)
