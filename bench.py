@@ -147,10 +147,62 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
     )
 
 
+def run_eval_1080p(method_name: str) -> None:
+    """TEST_RAYS_PER_SEC / fps at 1920x1080 (reference engine/trainer.py:519-526,
+    BASELINE.md north star: real-time 1080p rendering; vs_baseline = fps/30)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+    from nerfstudio_thermal_tpu.configs.method_configs import get_method_config
+    from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
+
+    h, w = 1080, 1920
+    method = get_method_config(method_name)
+    aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
+    model = ThermalNerfactoModel(
+        method.model, aabb, num_train_data=2, metadata={"is_thermal": [0, 1]}
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    c2w = np.eye(4, dtype=np.float32)[:3][None]
+    c2w[:, 0, 3] = 2.0
+    cam = Cameras(
+        camera_to_worlds=jnp.asarray(c2w),
+        fx=jnp.full((1,), 1400.0), fy=jnp.full((1,), 1400.0),
+        cx=jnp.full((1,), w / 2), cy=jnp.full((1,), h / 2),
+        width=jnp.full((1,), w, jnp.int32), height=jnp.full((1,), h, jnp.int32),
+        distortion_params=jnp.zeros((1, 6)),
+        camera_type=jnp.full((1,), CameraType.PERSPECTIVE.value, jnp.int32),
+    )
+    out = model.get_outputs_for_camera(params, cam, 0)  # compile + warm
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = model.get_outputs_for_camera(params, cam, 0)
+    dt = (time.perf_counter() - t0) / reps
+    rays_per_sec = h * w / dt
+    fps = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": "test_rays_per_sec_1080p",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(fps / 30.0, 4),
+                "config": method_name,
+                "note": f"{fps:.2f} fps at 1920x1080 chunked eval render; "
+                "vs_baseline = fps / 30 (real-time-1080p north star)",
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     # reference-parity hash-grid config first; the flagship LAST (the driver
     # parses the final line)
     run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
+    run_eval_1080p("thermal-nerfacto-tpu")
     run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 

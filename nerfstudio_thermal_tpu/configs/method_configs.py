@@ -645,6 +645,28 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
     # (reference scripts/train.py:97)
     import jax as _jax
 
+    # Random gathers into large hash tables run at ~0.06-0.09 G rows/s on
+    # TPU v5e (see docs/ROOFLINE_hash.md): warn users picking the hash-grid
+    # reference-parity config on TPU and point at the MXU-dense flagship.
+    if (
+        getattr(config.model, "field_encoding", "hash") == "hash"
+        and getattr(config.model, "log2_hashmap_size", 0) >= 17
+    ):
+        try:
+            platform = _jax.devices()[0].platform
+        except Exception:
+            platform = "unknown"
+        if platform not in ("cpu",):
+            print(
+                f"WARNING: '{config.method_name}' uses a 2^"
+                f"{config.model.log2_hashmap_size} hash grid; large-table "
+                "random gathers are ~two orders of magnitude slower on TPU "
+                "than on GPU (measured ~0.6-2k rays/s training here). For "
+                "TPU throughput use the MXU-dense flagship variant "
+                f"'{config.method_name}-tpu' (frequency-MLP fields, "
+                "PSNR-parity validated). See docs/ROOFLINE_hash.md."
+            )
+
     config.datamanager.seed = config.datamanager.seed + 7919 * _jax.process_index()
     dm_cls = (
         FullImageDatamanager

@@ -154,17 +154,22 @@ class Trainer:
         (reference engine/trainer.py:178; renders under train_lock)."""
         from nerfstudio_thermal_tpu.viewer.server import (
             ViewerServer,
+            make_model_export_fn,
             make_model_render_fn,
+            probe_output_names,
         )
 
         render_fn = make_model_render_fn(self.model, lambda: self.host_params())
         self._viewer = ViewerServer(
             render_fn,
-            output_names=["rgb", "rgb_thermal", "depth", "depth_thermal",
-                          "accumulation", "expected_depth"],
+            output_names=probe_output_names(self.model, self.host_params()),
             port=self.config.viewer_port,
             train_lock=self.train_lock,
             save_dir=self.base_dir,
+            export_fn=make_model_export_fn(
+                self.model, lambda: self.host_params(),
+                self.datamanager.eval_cameras, self.base_dir,
+            ),
         )
         self._viewer.start(block=False)
 

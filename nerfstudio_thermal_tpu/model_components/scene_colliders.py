@@ -9,6 +9,18 @@ import jax.numpy as jnp
 from nerfstudio_thermal_tpu.cameras.rays import RayBundle
 
 
+def _combine_bounds(ray_bundle: RayBundle, nears, fars):
+    """Intersect collider bounds with any bounds already on the bundle
+    (e.g. a viewer crop box set by get_outputs_for_camera(crop_aabb=...)).
+    Empty intersections collapse to near == far -> zero-weight samples."""
+    if ray_bundle.nears is not None:
+        nears = jnp.maximum(nears, ray_bundle.nears)
+    if ray_bundle.fars is not None:
+        fars = jnp.minimum(fars, ray_bundle.fars)
+    fars = jnp.maximum(fars, nears)
+    return ray_bundle.replace(nears=nears, fars=fars)
+
+
 class NearFarCollider:
     """Fixed near/far planes; near resets to 0 at eval unless disabled."""
 
@@ -20,7 +32,7 @@ class NearFarCollider:
     def __call__(self, ray_bundle: RayBundle, train: bool = True) -> RayBundle:
         ones = jnp.ones_like(ray_bundle.origins[..., 0:1])
         near = self.near_plane if (train or not self.reset_near_plane) else 0.0
-        return ray_bundle.replace(nears=ones * near, fars=ones * self.far_plane)
+        return _combine_bounds(ray_bundle, ones * near, ones * self.far_plane)
 
 
 class AABBBoxCollider:
@@ -42,7 +54,7 @@ class AABBBoxCollider:
         near_plane = self.near_plane if train else 0.0
         nears = jnp.clip(nears, near_plane, None)
         fars = jnp.maximum(fars, nears + 1e-6)
-        return ray_bundle.replace(nears=nears, fars=fars)
+        return _combine_bounds(ray_bundle, nears, fars)
 
 
 class SphereCollider:
@@ -69,4 +81,4 @@ class SphereCollider:
         nears = jnp.clip(nears, near_plane, None)
         nears = jnp.where(hit, nears, near_plane)
         fars = jnp.where(hit, jnp.maximum(fars, nears + 1e-6), near_plane + 1e-6)
-        return ray_bundle.replace(nears=nears, fars=fars)
+        return _combine_bounds(ray_bundle, nears, fars)

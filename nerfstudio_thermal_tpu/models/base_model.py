@@ -85,8 +85,14 @@ class Model:
     def get_outputs_for_camera(
         self, params, cameras: Cameras, camera_index: int, rng=None,
         width: Optional[int] = None, height: Optional[int] = None,
+        crop_aabb=None,
     ) -> Dict[str, np.ndarray]:
-        """Render a full image from camera `camera_index` (eval path)."""
+        """Render a full image from camera `camera_index` (eval path).
+
+        crop_aabb: optional [2, 3] world-space box; rendering is restricted
+        to ray segments inside it (the viewer crop / scene-box tool,
+        reference viewer/control_panel.py crop controls). Rays that miss the
+        box collapse to near == far and render as background."""
         h = int(height if height is not None else cameras.height[camera_index])
         w = int(width if width is not None else cameras.width[camera_index])
         ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -95,6 +101,18 @@ class Model:
         )
         idx = jnp.full((coords.shape[0],), camera_index, jnp.int32)
         bundle = cameras.generate_rays(idx, coords)
+        if crop_aabb is not None:
+            aabb = jnp.asarray(np.asarray(crop_aabb, np.float32).reshape(2, 3))
+            d = bundle.directions
+            inv = 1.0 / jnp.where(jnp.abs(d) < 1e-10, 1e-10, d)
+            t1 = (aabb[0] - bundle.origins) * inv
+            t2 = (aabb[1] - bundle.origins) * inv
+            nears = jnp.maximum(
+                jnp.max(jnp.minimum(t1, t2), axis=-1, keepdims=True), 0.0
+            )
+            fars = jnp.min(jnp.maximum(t1, t2), axis=-1, keepdims=True)
+            fars = jnp.maximum(fars, nears)  # miss -> empty segment
+            bundle = bundle.replace(nears=nears, fars=fars)
         outputs = self.render_ray_bundle_chunked(params, bundle, rng=rng)
         return {k: np.asarray(v).reshape(h, w, -1) for k, v in outputs.items()}
 

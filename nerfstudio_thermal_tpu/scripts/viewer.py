@@ -31,22 +31,25 @@ def main(argv=None) -> int:
         return 2
 
     from nerfstudio_thermal_tpu.utils.eval_utils import eval_setup
-    from nerfstudio_thermal_tpu.viewer.server import ViewerServer, make_model_render_fn
+    from nerfstudio_thermal_tpu.viewer.server import (
+        ViewerServer,
+        make_model_export_fn,
+        make_model_render_fn,
+        probe_output_names,
+    )
 
     config, trainer, params = eval_setup(load_config)
     model = trainer.pipeline.model
-
-    # discover output names from a probe render
-    probe = model.get_outputs_for_camera(
-        params, trainer.datamanager.eval_cameras, 0
-    )
-    names = sorted(k for k, v in probe.items() if v.ndim == 3)
+    cameras = trainer.datamanager.eval_cameras
 
     server = ViewerServer(
         make_model_render_fn(model, lambda: params),
-        output_names=names,
+        output_names=probe_output_names(model, params, cameras),
         port=port,
         save_dir=load_config.parent,
+        export_fn=make_model_export_fn(
+            model, lambda: params, cameras, load_config.parent
+        ),
     )
     server.start(block=True)
     return 0

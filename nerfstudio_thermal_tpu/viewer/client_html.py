@@ -33,6 +33,22 @@ CLIENT_HTML = r"""<!DOCTYPE html>
     sec <input id="seconds" type="number" value="4" style="width:3em"/>
     <button id="exportpath">export path</button>
   </div>
+  <div>
+    <label><input id="cropon" type="checkbox"/> crop</label>
+    min <input id="cx0" class="crop" type="number" value="-1" step="0.1"/>
+        <input id="cy0" class="crop" type="number" value="-1" step="0.1"/>
+        <input id="cz0" class="crop" type="number" value="-1" step="0.1"/><br/>
+    max <input id="cx1" class="crop" type="number" value="1" step="0.1"/>
+        <input id="cy1" class="crop" type="number" value="1" step="0.1"/>
+        <input id="cz1" class="crop" type="number" value="1" step="0.1"/>
+  </div>
+  <div>
+    <select id="exportkind">
+      <option value="pointcloud">point cloud (.ply)</option>
+      <option value="tsdf">TSDF mesh (.ply)</option>
+    </select>
+    <button id="exportgeo">export</button>
+  </div>
 </div>
 <canvas id="view"></canvas>
 <script>
@@ -75,6 +91,27 @@ window.addEventListener('mousemove', e => {
 canvas.addEventListener('wheel', e => { radius *= Math.exp(e.deltaY*0.001); dirty=true; });
 outputSel.addEventListener('change', ()=> dirty=true);
 resSel.addEventListener('change', ()=> dirty=true);
+
+// crop / scene-box tool (reference viewer control panel crop controls)
+function cropBox() {
+  if (!document.getElementById('cropon').checked) return null;
+  const v = id => parseFloat(document.getElementById(id).value) || 0;
+  return [[v('cx0'), v('cy0'), v('cz0')], [v('cx1'), v('cy1'), v('cz1')]];
+}
+document.getElementById('cropon').addEventListener('change', ()=> dirty=true);
+for (const el of document.querySelectorAll('.crop'))
+  el.addEventListener('change', ()=> dirty=true);
+
+// export tab (reference viewer/export_panel.py): run geometry exporters
+document.getElementById('exportgeo').addEventListener('click', () => {
+  if (!ws || ws.readyState !== 1) return;
+  stats.textContent = 'exporting...';
+  ws.send(JSON.stringify({
+    type: 'export',
+    kind: document.getElementById('exportkind').value,
+    crop: cropBox(),
+  }));
+});
 
 // camera-path recording (render-panel analogue): collect keyframes, ask the
 // server to interpolate + save a camera_path.json for `ns-render camera-path`
@@ -119,6 +156,8 @@ function connect() {
         stats.textContent = `${msg.render_ms.toFixed(0)} ms  ${msg.width}x${msg.height}`;
       } else if (msg.type === 'saved') {
         stats.textContent = msg.error ? `export failed: ${msg.error}` : `saved ${msg.path}`;
+      } else if (msg.type === 'exported') {
+        stats.textContent = msg.error ? `export failed: ${msg.error}` : `exported ${msg.path}`;
       }
       return;
     }
@@ -140,6 +179,7 @@ function tick() {
       width: parseInt(resSel.value),
       aspect: window.innerWidth / window.innerHeight,
       output: outputSel.value || 'rgb',
+      crop: cropBox(),
     }));
   }
   requestAnimationFrame(tick);

@@ -43,19 +43,25 @@ class ViewerServer:
 
     def __init__(
         self,
-        render_fn: Callable[[np.ndarray, int, int, str], Dict[str, np.ndarray]],
+        render_fn: Callable[..., Dict[str, np.ndarray]],
         output_names,
         port: int = 7007,
         train_lock: Optional[threading.Lock] = None,
         save_dir=None,
+        export_fn: Optional[Callable[..., str]] = None,
     ):
-        """render_fn(c2w [3,4], width, height, output_name) -> image [H,W,3].
-        save_dir: where exported camera paths are written (default cwd)."""
+        """render_fn(c2w [3,4], width, height, output_name, crop=None) ->
+        image [H,W,3]; crop is an optional [2,3] world AABB (the viewer crop
+        tool, reference viewer/control_panel.py).
+        save_dir: where exported camera paths are written (default cwd).
+        export_fn(kind, crop=None) -> path: runs a geometry export
+        (pointcloud/tsdf; reference viewer/export_panel.py)."""
         self.render_fn = render_fn
         self.output_names = list(output_names)
         self.port = port
         self.train_lock = train_lock or threading.Lock()
         self.save_dir = save_dir
+        self.export_fn = export_fn
         self._http = None
         self._thread = None
 
@@ -95,6 +101,27 @@ class ViewerServer:
                             json.dumps({"type": "saved", "error": str(e)})
                         )
                     continue
+                if msg.get("type") == "export":
+                    if self.export_fn is None:
+                        await ws.send(json.dumps(
+                            {"type": "exported", "error": "no exporter wired"}
+                        ))
+                        continue
+                    kind = msg.get("kind", "pointcloud")
+                    crop = msg.get("crop")
+                    loop = asyncio.get_running_loop()
+                    try:
+                        path = await loop.run_in_executor(
+                            None, self._export, kind, crop
+                        )
+                        await ws.send(json.dumps(
+                            {"type": "exported", "path": str(path)}
+                        ))
+                    except Exception as e:
+                        await ws.send(json.dumps(
+                            {"type": "exported", "error": str(e)}
+                        ))
+                    continue
                 if msg.get("type") != "camera":
                     continue
                 c2w = np.asarray(msg["c2w"], np.float32)
@@ -106,11 +133,12 @@ class ViewerServer:
                 height = int(width / max(aspect, 1e-3)) // 8 * 8
                 height = max(height, 8)
                 output = msg.get("output", "rgb")
+                crop = msg.get("crop")  # [[minx,y,z],[maxx,y,z]] or None
 
                 t0 = time.perf_counter()
                 loop = asyncio.get_running_loop()
                 img = await loop.run_in_executor(
-                    None, self._render, c2w, width, height, output
+                    None, self._render, c2w, width, height, output, crop
                 )
                 dt = (time.perf_counter() - t0) * 1000
 
@@ -125,10 +153,14 @@ class ViewerServer:
         async with websockets.serve(handler, "0.0.0.0", self.port + 1, max_size=None):
             await asyncio.Future()
 
-    def _render(self, c2w, width, height, output):
+    def _render(self, c2w, width, height, output, crop=None):
         # serialize against training (reference trainer.py:113,239 train_lock)
         with self.train_lock:
-            return self.render_fn(c2w, width, height, output)
+            return self.render_fn(c2w, width, height, output, crop=crop)
+
+    def _export(self, kind, crop=None):
+        with self.train_lock:
+            return self.export_fn(kind, crop=crop)
 
     def save_camera_path(self, msg: dict):
         """Viewer render-panel analogue (reference viewer/render_panel.py):
@@ -200,6 +232,92 @@ def _to_jpeg(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def probe_output_names(model, params, cameras=None) -> list:
+    """Enumerate the model's actual render outputs by rendering one tiny
+    image (reference viewer enumerates model output keys so e.g. thermal
+    outputs of any method appear automatically, viewer/control_panel.py).
+    Falls back to ['rgb'] if probing fails."""
+    import jax.numpy as jnp
+
+    from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+
+    try:
+        if cameras is None:
+            c2w = np.eye(4, dtype=np.float32)[:3][None]
+            c2w[:, 0, 3] = 2.0
+            cameras = Cameras(
+                camera_to_worlds=jnp.asarray(c2w),
+                fx=jnp.asarray([16.0]), fy=jnp.asarray([16.0]),
+                cx=jnp.asarray([8.0]), cy=jnp.asarray([8.0]),
+                width=jnp.asarray([16], jnp.int32),
+                height=jnp.asarray([16], jnp.int32),
+                camera_type=jnp.asarray(
+                    [CameraType.PERSPECTIVE.value], jnp.int32
+                ),
+            )
+        out = model.get_outputs_for_camera(
+            params, cameras, 0, width=16, height=16
+        )
+        names = [
+            k for k, v in out.items()
+            if np.asarray(v).ndim == 3
+            and np.asarray(v).shape[-1] in (1, 3, 4)  # displayable channels
+            and not k.startswith("prop_")
+        ]
+        # rgb first for the default selection
+        names.sort(key=lambda k: (k != "rgb", k))
+        return names or ["rgb"]
+    except Exception as e:
+        print(f"viewer: output probe failed ({e}); defaulting to rgb")
+        return ["rgb"]
+
+
+def make_model_export_fn(model, params_fn, cameras, out_dir):
+    """Viewer export-tab backend (reference viewer/export_panel.py): runs a
+    geometry exporter against current params; returns the written path."""
+    from pathlib import Path
+
+    def export(kind: str, crop=None):
+        dest = Path(out_dir) / "exports"
+        dest.mkdir(parents=True, exist_ok=True)
+        params = params_fn()
+        stamp = int(time.time())
+        if kind == "pointcloud":
+            from nerfstudio_thermal_tpu.exporter.exporter_utils import (
+                generate_point_cloud,
+                write_ply,
+            )
+
+            pts, cols = generate_point_cloud(
+                model, params, cameras, num_cameras=4, stride=4
+            )[:2]
+            if crop is not None:
+                box = np.asarray(crop, np.float32).reshape(2, 3)
+                keep = np.all((pts >= box[0]) & (pts <= box[1]), axis=-1)
+                pts, cols = pts[keep], cols[keep]
+            path = dest / f"point_cloud_{stamp}.ply"
+            write_ply(path, pts, cols)
+            return path
+        if kind == "tsdf":
+            from nerfstudio_thermal_tpu.exporter.tsdf_utils import export_tsdf_mesh
+
+            kw = {}
+            if crop is not None:
+                box = np.asarray(crop, np.float32).reshape(2, 3)
+                kw = dict(
+                    use_bounding_box=True,
+                    bounding_box_min=tuple(box[0]),
+                    bounding_box_max=tuple(box[1]),
+                )
+            return export_tsdf_mesh(
+                model, params, cameras, dest, resolution=64,
+                filename=f"tsdf_mesh_{stamp}.ply", **kw,
+            )
+        raise ValueError(f"unknown export kind '{kind}' (pointcloud|tsdf)")
+
+    return export
+
+
 def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
     """Bridge a Model to the viewer: builds a Cameras pytree per request and
     renders chunked (reference render_state_machine._render_img:118-165)."""
@@ -208,7 +326,7 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
     from nerfstudio_thermal_tpu.utils import colormaps
 
-    def render(c2w, width, height, output):
+    def render(c2w, width, height, output, crop=None):
         focal = height / (2 * np.tan(np.radians(fov_degrees) / 2))
         cameras = Cameras(
             camera_to_worlds=jnp.asarray(c2w)[None],
@@ -221,10 +339,11 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
             camera_type=jnp.asarray([CameraType.PERSPECTIVE.value], jnp.int32),
         )
         outputs = model.get_outputs_for_camera(
-            params_fn(), cameras, 0, width=width, height=height
+            params_fn(), cameras, 0, width=width, height=height,
+            crop_aabb=crop,
         )
         img = outputs.get(output, outputs["rgb"])
-        if output.startswith("depth"):
+        if "depth" in output:
             suffix = "_thermal" if output.endswith("_thermal") else ""
             img = colormaps.apply_depth_colormap(
                 img, accumulation=outputs.get(f"accumulation{suffix}")
