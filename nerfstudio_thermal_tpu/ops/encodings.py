@@ -239,6 +239,18 @@ class HashEncoding(nn.Module):
         scalings = jnp.asarray(
             hash_grid_scalings(self.num_levels, self.min_res, self.max_res)
         )
+        if self._dynamic_gather_eligible():
+            # Large tables on TPU: in-kernel tpu.dynamic_gather beats the
+            # XLA scalar-path gather by orders of magnitude
+            # (ops/pallas/hash_gather.py; measured tools/diag_hash_r3.py).
+            from nerfstudio_thermal_tpu.ops.pallas.hash_gather import (
+                hash_encode_dg,
+            )
+
+            return hash_encode_dg(
+                table, positions, scalings, self.table_size,
+                compute_dtype=self.compute_dtype,
+            )
         if self.use_pallas:
             from nerfstudio_thermal_tpu.ops.pallas.hash_encoding import (
                 hash_encode_pallas,
@@ -251,6 +263,31 @@ class HashEncoding(nn.Module):
         return hash_encode(
             table, positions, scalings, self.table_size, self.compute_dtype
         )
+
+    def _dynamic_gather_eligible(self) -> bool:
+        """Route big-table lookups to the dynamic-gather kernel on TPU.
+
+        Small tables keep the one-hot MXU kernel / XLA path; non-TPU
+        backends keep XLA (the kernel's interpret mode is for tests).
+        Opt out with NS_HASH_DG=0."""
+        import os
+
+        from nerfstudio_thermal_tpu.ops.pallas.hash_encoding import (
+            PALLAS_MAX_TABLE_SIZE,
+        )
+
+        if os.environ.get("NS_HASH_DG", "1") == "0":
+            return False
+        if self.features_per_level != 2 or self.table_size % 128 != 0:
+            return False
+        if self.table_size <= PALLAS_MAX_TABLE_SIZE and self.use_pallas:
+            return False  # one-hot MXU kernel wins there
+        if self.table_size <= 4096:
+            return False  # XLA fine at these sizes; keeps tiny-table tests exact
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:
+            return False
 
 
 # Hardcoded real SH basis, matching reference utils/math.py:29-106.

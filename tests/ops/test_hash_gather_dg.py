@@ -1,0 +1,80 @@
+"""Dynamic-gather hash kernel vs the XLA oracle (interpret mode on CPU).
+
+The kernel (ops/pallas/hash_gather.py) is the TPU training path for large
+hash tables; `ops.encodings.hash_encode` is the bit-exact reference
+(itself validated against the torch fallback semantics of reference
+encodings.py:401-461).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerfstudio_thermal_tpu.ops.encodings import (
+    HashEncoding,
+    hash_encode,
+    hash_grid_scalings,
+)
+from nerfstudio_thermal_tpu.ops.pallas.hash_gather import hash_encode_dg
+
+
+@pytest.mark.parametrize(
+    "L,log2t,n,minr,maxr",
+    [(4, 9, 1000, 4, 64), (3, 12, 2500, 16, 256), (2, 10, 513, 8, 32)],
+)
+def test_forward_matches_xla(L, log2t, n, minr, maxr):
+    rng = np.random.default_rng(0)
+    T = 2**log2t
+    table = jnp.asarray(rng.normal(size=(L * T, 2)).astype(np.float32) * 1e-2)
+    pos = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+    scal = jnp.asarray(hash_grid_scalings(L, minr, maxr))
+
+    out_ref = hash_encode(table, pos, scal, T, jnp.float32)
+    out_dg = hash_encode_dg(table, pos, scal, T, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(out_dg), np.asarray(out_ref), atol=1e-6
+    )
+
+
+def test_gradients_match_xla():
+    rng = np.random.default_rng(1)
+    L, T, n = 3, 2**10, 1500
+    table = jnp.asarray(rng.normal(size=(L * T, 2)).astype(np.float32) * 1e-2)
+    pos = jnp.asarray(rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32))
+    scal = jnp.asarray(hash_grid_scalings(L, 8, 128))
+
+    def loss(enc_fn, tb, p):
+        return jnp.sum(jnp.sin(enc_fn(tb, p, scal, T, jnp.float32)) ** 2)
+
+    gt_ref, gp_ref = jax.grad(lambda tb, p: loss(hash_encode, tb, p),
+                              argnums=(0, 1))(table, pos)
+    gt_dg, gp_dg = jax.grad(lambda tb, p: loss(hash_encode_dg, tb, p),
+                            argnums=(0, 1))(table, pos)
+    scale_t = float(jnp.max(jnp.abs(gt_ref))) or 1.0
+    scale_p = float(jnp.max(jnp.abs(gp_ref))) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(gt_dg) / scale_t, np.asarray(gt_ref) / scale_t, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp_dg) / scale_p, np.asarray(gp_ref) / scale_p, atol=1e-5
+    )
+
+
+def test_batched_positions_shape():
+    rng = np.random.default_rng(2)
+    L, T = 2, 2**9
+    table = jnp.asarray(rng.normal(size=(L * T, 2)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(0, 1, (7, 11, 3)).astype(np.float32))
+    scal = jnp.asarray(hash_grid_scalings(L, 4, 16))
+    out = hash_encode_dg(table, pos, scal, T, jnp.float32)
+    assert out.shape == (7, 11, L * 2)
+    ref = hash_encode(table, pos, scal, T, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_dispatch_stays_on_xla_for_cpu():
+    """On the CPU test platform the module must NOT route to the dg kernel
+    (its interpret mode is for tests only)."""
+    enc = HashEncoding(num_levels=2, log2_hashmap_size=19)
+    assert not enc._dynamic_gather_eligible()
