@@ -38,8 +38,18 @@ def build_setup(method_name: str):
     num_cameras = 64
     h, w = 480, 640
 
+    parity_workload = method_name.endswith("@parity")
+    if parity_workload:
+        method_name = method_name[: -len("@parity")]
     method = get_method_config(method_name)
     cfg = method.model
+    if parity_workload:
+        # reference workload constants (BASELINE.md): (256,96) proposal +
+        # 48 nerf samples/ray, full-rate cross-density regularizer
+        cfg.num_proposal_samples_per_ray = (256, 96)
+        cfg.num_nerf_samples_per_ray = 48
+        if hasattr(cfg, "density_loss_rays_fraction"):
+            cfg.density_loss_rays_fraction = 1.0
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     is_thermal = [i % 2 for i in range(num_cameras)]
     model = ThermalNerfactoModel(
@@ -203,6 +213,10 @@ def main():
     # parses the final line)
     run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
     run_eval_1080p("thermal-nerfacto-tpu")
+    # flagship at the reference's own workload constants ((256,96)/48,
+    # full-rate regularizers) — the apples-to-apples throughput row
+    run("thermal-nerfacto-tpu@parity", "train_rays_per_sec_parity_workload",
+        n_steps=10)
     run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 
