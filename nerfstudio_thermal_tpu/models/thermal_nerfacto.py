@@ -370,9 +370,17 @@ class ThermalNerfactoModel(NerfactoModel):
                 fo_rgb = self.field.apply(
                     {"params": params["fields"]}, ray_samples, train=train
                 )
-                mask_rgb = (
-                    jnp.abs(1.0 - outputs["density2_thermal"] / outputs["density"]) < diff
+                # At exactly-zero density the reference's ratio is NaN/Inf
+                # and the comparison falls out False; make that explicit so
+                # no NaN ever enters the weight math (eval-output hygiene —
+                # a zero-density sample contributes nothing either way).
+                ratio_rgb = jnp.where(
+                    outputs["density"] > 0,
+                    outputs["density2_thermal"]
+                    / jnp.maximum(outputs["density"], 1e-30),
+                    jnp.inf,
                 )
+                mask_rgb = jnp.abs(1.0 - ratio_rgb) < diff
                 w_rm = ray_samples.get_weights(outputs["density"] * mask_rgb)
                 outputs["removal"] = renderers.render_rgb(
                     fo_rgb[FieldHeadNames.RGB][..., :3], w_rm,
@@ -382,9 +390,13 @@ class ThermalNerfactoModel(NerfactoModel):
                 fo_t = self.field_thermal.apply(
                     {"params": params["fields_thermal"]}, ray_samples_t, train=train
                 )
-                mask_t = (
-                    jnp.abs(1.0 - outputs["density2"] / outputs["density_thermal"]) < diff
+                ratio_t = jnp.where(
+                    outputs["density_thermal"] > 0,
+                    outputs["density2"]
+                    / jnp.maximum(outputs["density_thermal"], 1e-30),
+                    jnp.inf,
                 )
+                mask_t = jnp.abs(1.0 - ratio_t) < diff
                 w_rm_t = ray_samples.get_weights(outputs["density_thermal"] * mask_t)
                 outputs["removal_thermal"] = renderers.render_rgb(
                     fo_t[FieldHeadNames.RGB][..., :1], w_rm_t,
