@@ -209,14 +209,35 @@ def run_eval_1080p(method_name: str) -> None:
 
 
 def main():
+    import os
+    import traceback
+
     # reference-parity hash-grid config first; the flagship LAST (the driver
-    # parses the final line)
-    run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
-    run_eval_1080p("thermal-nerfacto-tpu")
-    # flagship at the reference's own workload constants ((256,96)/48,
-    # full-rate regularizers) — the apples-to-apples throughput row
-    run("thermal-nerfacto-tpu@parity", "train_rays_per_sec_parity_workload",
-        n_steps=10)
+    # parses the final line). Every non-final row is fail-soft so the
+    # flagship line always prints.
+    try:
+        run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
+    except Exception:
+        traceback.print_exc()
+        # dynamic-gather kernel trouble on this backend? retry on XLA path
+        os.environ["NS_HASH_DG"] = "0"
+        try:
+            run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
+        except Exception:
+            traceback.print_exc()
+        finally:
+            os.environ.pop("NS_HASH_DG", None)
+    for fail_soft in (
+        lambda: run_eval_1080p("thermal-nerfacto-tpu"),
+        # flagship at the reference's own workload constants ((256,96)/48,
+        # full-rate regularizers) — the apples-to-apples throughput row
+        lambda: run("thermal-nerfacto-tpu@parity",
+                    "train_rays_per_sec_parity_workload", n_steps=10),
+    ):
+        try:
+            fail_soft()
+        except Exception:
+            traceback.print_exc()
     run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 
