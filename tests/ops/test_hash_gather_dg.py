@@ -53,12 +53,57 @@ def test_gradients_match_xla():
                             argnums=(0, 1))(table, pos)
     scale_t = float(jnp.max(jnp.abs(gt_ref))) or 1.0
     scale_p = float(jnp.max(jnp.abs(gp_ref))) or 1.0
+    # table grad: the MXU scatter rounds each contribution's g*w to bf16
+    # (f32 accumulation) — same noise class as tcnn's fp16 atomics; bound
+    # the normalized error at the bf16 epsilon scale
     np.testing.assert_allclose(
-        np.asarray(gt_dg) / scale_t, np.asarray(gt_ref) / scale_t, atol=1e-5
+        np.asarray(gt_dg) / scale_t, np.asarray(gt_ref) / scale_t, atol=4e-3
     )
+    # position grad is full f32 (saved-residual path)
     np.testing.assert_allclose(
         np.asarray(gp_dg) / scale_p, np.asarray(gp_ref) / scale_p, atol=1e-5
     )
+
+
+def test_training_quality_with_mxu_scatter():
+    """The bf16-rounded table gradient must not impair optimization: fit a
+    smooth 3D field with Adam through hash_encode_hybrid and through the
+    exact XLA path; final losses must match closely."""
+    import optax
+
+    rng = np.random.default_rng(3)
+    L, T = 3, 2**10
+    scal = jnp.asarray(hash_grid_scalings(L, 4, 32))
+    pos = jnp.asarray(rng.uniform(0, 1, (2048, 3)).astype(np.float32))
+    target = jnp.sin(4.0 * pos[:, 0]) * jnp.cos(3.0 * pos[:, 1]) + pos[:, 2]
+
+    def train(enc_fn, steps=60):
+        table = jnp.asarray(
+            rng.normal(size=(L * T, 2)).astype(np.float32) * 1e-3
+        )
+        proj = jnp.asarray(rng.normal(size=(L * 2,)).astype(np.float32))
+        params = {"table": table, "proj": proj}
+        tx = optax.adam(5e-2)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt):
+            def loss_fn(p):
+                feats = enc_fn(p["table"], pos, scal, T, jnp.float32)
+                pred = feats @ p["proj"]
+                return jnp.mean((pred - target) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+        for _ in range(steps):
+            params, opt, loss = step(params, opt)
+        return float(loss)
+
+    loss_ref = train(hash_encode)
+    loss_dg = train(hash_encode_dg)
+    assert loss_dg < loss_ref * 1.5 + 1e-3, (loss_dg, loss_ref)
 
 
 def test_batched_positions_shape():

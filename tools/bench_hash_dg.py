@@ -7,7 +7,10 @@ import numpy as np
 
 
 def _sync(x):
-    float(np.asarray(x).reshape(-1)[0])
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    float(np.asarray(leaf).reshape(-1)[0])
 
 
 def timeit(fn, *args, reps=5, warmup=1):
