@@ -124,10 +124,8 @@ def _bwd_table_kernel(scaling_ref, pos_ref, g_ref, dtab_ref, *, table_size):
     g = g_ref[0].astype(jnp.float32)  # [F, TILE]
 
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (tile, _LANES), 1)
-    # chunk the hi-bucket dim so the one-hot tile stays VMEM-small even at
-    # a_sz = 4096 (2^19 tables); accumulate straight into the output ref
-    a_chunk = min(a_sz, 1024)
-    n_chunks = a_sz // a_chunk
+    a_chunk = a_sz
+    n_chunks = 1
 
     for c in range(8):
         bits = _bits(c)
@@ -165,7 +163,12 @@ def _use_interpret() -> bool:
 def _scatter_mxu(pos_t, g_t, scalings, table_size, num_levels, f):
     """d_table via the MXU kernel. pos_t [3, N], g_t [L, F, N] (g*... raw
     output grads; the kernel applies the trilerp weights itself)."""
-    tile = _BWD_TILE
+    a_sz = table_size // _LANES
+    # keep tile*a_sz (the one-hot area) at the budget that compiles and
+    # fits VMEM: 512x1024 works for 2^17; shrink the query tile for bigger
+    # tables instead of chunking (chunked 64-matmul unrolls crash the
+    # Mosaic compile helper)
+    tile = max(128, min(_BWD_TILE, (512 * 1024) // max(a_sz, 1)))
     n = pos_t.shape[1]
     pad = (-n) % tile
     if pad:
@@ -209,11 +212,15 @@ def hash_encode_hybrid(
     """Drop-in for `ops.encodings.hash_encode`, tuned for large tables on
     TPU. table: [L * table_size, F=2]; positions: [..., 3]; scalings: [L].
     Returns [..., L * F]."""
-    out, _ = _fwd(table, positions, scalings, table_size, compute_dtype)
-    return out
+    # primal path: no residual stack (inference/eval never needs it)
+    out, _, batch_shape, L, f = _fwd_impl(
+        table, positions, scalings, table_size, save_vals=False
+    )
+    out_t = jnp.swapaxes(out, 0, 1).reshape(*batch_shape, L * f)
+    return out_t.astype(compute_dtype)
 
 
-def _fwd_impl(table, positions, scalings, table_size):
+def _fwd_impl(table, positions, scalings, table_size, save_vals):
     num_levels = scalings.shape[0]
     f = table.shape[-1]
     batch_shape = positions.shape[:-1]
@@ -230,7 +237,8 @@ def _fwd_impl(table, positions, scalings, table_size):
         idx = _corner_idx(hf, hc, bits, table_size) + level_offset  # [L, N]
         w = _corner_w(wf, wc, bits)  # [L, N]
         vals = tab_f32[idx]  # ROW gather -> [L, N, F]
-        vals_list.append(vals)
+        if save_vals:
+            vals_list.append(vals)
         contrib = vals * w[..., None]
         out = contrib if out is None else out + contrib
     return out, vals_list, batch_shape, num_levels, f
@@ -238,7 +246,7 @@ def _fwd_impl(table, positions, scalings, table_size):
 
 def _fwd(table, positions, scalings, table_size, compute_dtype):
     out, vals_list, batch_shape, L, f = _fwd_impl(
-        table, positions, scalings, table_size
+        table, positions, scalings, table_size, save_vals=True
     )
     # [L, N, F] -> [N, L*F]
     out_t = jnp.swapaxes(out, 0, 1).reshape(*batch_shape, L * f)
