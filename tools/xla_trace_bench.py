@@ -135,9 +135,38 @@ def report(logdir="/tmp/xla_trace"):
             print(f"\n== {tool} (truncated) ==\n{out}")
 
 
+def report_direct(logdir="/tmp/xla_trace", top=40):
+    """Direct xplane.pb parse (the tensorboard_plugin_profile converter is
+    broken in this image): aggregate device-plane event durations by name."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xplanes = sorted(glob.glob(logdir + "/plugins/profile/*/*.xplane.pb"))
+    assert xplanes, "no xplane found"
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(open(xplanes[-1], "rb").read())
+    for plane in space.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        agg = {}
+        for line in plane.lines:
+            if "XLA Op" in line.name or "Steps" in line.name:
+                continue
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, str(ev.metadata_id))
+                dur = ev.duration_ps / 1e6  # us
+                c, t = agg.get(name, (0, 0.0))
+                agg[name] = (c + 1, t + dur)
+        total = sum(t for _, t in agg.values())
+        print(f"\n== plane '{plane.name}': {len(agg)} distinct ops, "
+              f"total {total/1e3:.1f} ms ==")
+        for name, (c, t) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:top]:
+            print(f"{t:>12.1f} us {100*t/max(total,1e-9):5.1f}%  {c:>5}x  {name[:100]}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "report":
-        report()
+        report_direct()
     else:
         capture()
-        report()
+        report_direct()
