@@ -149,13 +149,13 @@ class RaySamples:
         Spec: reference rays.py:128-150 — transmittance from the *exclusive*
         cumulative sum of delta*density.
         """
+        from nerfstudio_thermal_tpu.utils.math import cumsum_mxu
+
         delta_density = self.deltas * densities  # [..., S, 1]
         alphas = 1.0 - jnp.exp(-delta_density)
-        trans = jnp.cumsum(delta_density[..., :-1, :], axis=-2)
-        trans = jnp.concatenate(
-            [jnp.zeros_like(trans[..., :1, :]), trans], axis=-2
-        )
-        trans = jnp.exp(-trans)
+        # exclusive scan as an MXU matmul (cumsum_mxu) — XLA's reduce-window
+        # lowering of cumsum costs ~180 us/level on v5e
+        trans = jnp.exp(-cumsum_mxu(delta_density, axis=-2, exclusive=True))
         weights = alphas * trans
         return jnp.nan_to_num(weights)
 

@@ -55,9 +55,10 @@ def outer(t0_starts, t0_ends, t1_starts, t1_ends, y1):
     the sorted t1 edges, so the indexed lookups reduce to masked max/min
     (see ray_samplers.take_below_above)."""
     from nerfstudio_thermal_tpu.model_components.ray_samplers import take_below_above
+    from nerfstudio_thermal_tpu.utils.math import cumsum_mxu
 
     cy1 = jnp.concatenate(
-        [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
+        [jnp.zeros_like(y1[..., :1]), cumsum_mxu(y1, axis=-1)], axis=-1
     )
     cy1_lo, _ = take_below_above(t1_starts, t0_starts, cy1[..., :-1])
     _, cy1_hi = take_below_above(t1_ends, t0_ends, cy1[..., 1:])
@@ -82,10 +83,20 @@ def interlevel_loss(weights_list: List[jax.Array], ray_samples_list: List[RaySam
 
 
 def lossfun_distortion(t, w):
-    """MipNeRF-360 distortion in s-space (reference :141-152)."""
+    """MipNeRF-360 distortion in s-space (reference :141-152).
+
+    O(S) form of the pairwise double sum: with the midpoints ut sorted
+    ascending (true by construction — t are sorted bin edges),
+    sum_ij w_i w_j |ut_i - ut_j| = 2 * sum_i w_i (ut_i * W_i - U_i) where
+    W/U are exclusive prefix sums of w and w*ut. The naive [R, S, S]
+    broadcast costs ~1 ms/step in fwd+bwd tensors on v5e; the prefix sums
+    ride the MXU (cumsum_mxu)."""
+    from nerfstudio_thermal_tpu.utils.math import cumsum_mxu
+
     ut = (t[..., 1:] + t[..., :-1]) / 2.0
-    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
-    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    w_acc = cumsum_mxu(w, axis=-1, exclusive=True)
+    wut_acc = cumsum_mxu(w * ut, axis=-1, exclusive=True)
+    loss_inter = 2.0 * jnp.sum(w * (ut * w_acc - wut_acc), axis=-1)
     loss_intra = jnp.sum(w**2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3.0
     return loss_inter + loss_intra
 

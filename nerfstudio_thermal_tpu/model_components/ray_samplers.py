@@ -145,7 +145,9 @@ def pdf_sample(
     weights_sum = weights_sum + padding
 
     pdf = w / weights_sum
-    cdf = jnp.minimum(jnp.ones_like(pdf), jnp.cumsum(pdf, axis=-1))
+    from nerfstudio_thermal_tpu.utils.math import cumsum_mxu
+
+    cdf = jnp.minimum(jnp.ones_like(pdf), cumsum_mxu(pdf, axis=-1))
     cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, S+1]
 
     u = jnp.linspace(0.0, 1.0 - 1.0 / num_bins, num_bins)

@@ -79,9 +79,10 @@ def render_depth_median(weights: jax.Array, ray_samples: RaySamples) -> jax.Arra
     (reference renderers.py:544-553). steps are sorted along the ray, so the
     index lookup is a gather-free masked min (take_below_above)."""
     from nerfstudio_thermal_tpu.model_components.ray_samplers import take_below_above
+    from nerfstudio_thermal_tpu.utils.math import cumsum_mxu
 
     steps = (ray_samples.starts + ray_samples.ends) / 2.0  # [..., S, 1]
-    cumulative = jnp.cumsum(weights[..., 0], axis=-1)  # [..., S]
+    cumulative = cumsum_mxu(weights[..., 0], axis=-1)  # [..., S]
     split = jnp.full((*weights.shape[:-2], 1), 0.5)
     _, median_depth = take_below_above(cumulative, split, steps[..., 0], side="left")
     return median_depth

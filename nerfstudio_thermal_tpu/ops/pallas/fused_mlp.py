@@ -174,8 +174,11 @@ def _bwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, re
             dh = dh * (post_acts[li].astype(jnp.float32) > 0.0)
         x_in = layer_input(li).astype(cdt)
         dhc = dh.astype(cdt)
-        dw_refs[li][:] += jnp.dot(
-            x_in.T, dhc, preferred_element_type=jnp.float32
+        # batch-contracting dot_general == x_in.T @ dhc without asking Mosaic
+        # to materialize a [width, blk] transpose first
+        dw_refs[li][:] += jax.lax.dot_general(
+            x_in, dhc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         db_refs[li][:] += jnp.sum(dh, axis=0, keepdims=True)
         dh = jnp.dot(dhc, w_refs[li][:].T, preferred_element_type=jnp.float32)
@@ -311,7 +314,9 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
         per_point += 8 * 1024
     # activations get ~1/3 of VMEM: weights + f32 dh/dw/dx + in/out blocks
     # share the rest (measured: 5 MB fits for 8x256 stacks)
-    budget = 5 * 1024 * 1024
+    import os
+
+    budget = int(os.environ.get("NS_FMLP_BWD_BUDGET_MB", "5")) * 1024 * 1024
     block_size = min(
         block_size,
         max(512, budget // max(per_point, 1) // 512 * 512),

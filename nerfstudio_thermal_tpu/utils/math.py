@@ -81,6 +81,45 @@ def safe_normalize(v: jax.Array, eps: float = 1e-12) -> jax.Array:
     return jnp.where(safe, v / nrm, v)
 
 
+def cumsum_mxu(
+    x: jax.Array, axis: int = -1, exclusive: bool = False, reverse: bool = False
+) -> jax.Array:
+    """Cumulative sum expressed as a triangular-ones matmul.
+
+    XLA lowers cumsum on TPU to a full-width reduce-window on the VPU
+    (~180 us for [8192, 128] measured on v5e); the same O(S^2) work as a
+    [*, S] @ [S, S] matmul against a triangular ones matrix rides the MXU
+    (~2 us) and its backward is just the transposed matmul. Use for scans
+    along sample axes (S up to a few hundred); falls back to jnp.cumsum
+    when the axis is long enough that the matmul's S^2 FLOPs stop being
+    free."""
+    size = x.shape[axis]
+    if size > 1024:
+        if reverse:
+            x = jnp.flip(x, axis)
+        out = jnp.cumsum(x, axis=axis)
+        if exclusive:
+            pad = [(0, 0)] * x.ndim
+            pad[axis % x.ndim] = (1, 0)
+            out = jnp.pad(out, pad)[
+                tuple(
+                    slice(0, -1) if d == axis % x.ndim else slice(None)
+                    for d in range(x.ndim)
+                )
+            ]
+        if reverse:
+            out = jnp.flip(out, axis)
+        return out
+    xl = jnp.moveaxis(x, axis, -1)
+    i = jnp.arange(size)
+    cmp = (i[:, None] < i[None, :]) if exclusive else (i[:, None] <= i[None, :])
+    if reverse:
+        cmp = cmp.T
+    m = cmp.astype(xl.dtype)
+    out = jnp.matmul(xl, m)
+    return jnp.moveaxis(out, -1, axis)
+
+
 def safe_norm(x: jax.Array, axis=-1) -> jax.Array:
     """L2 norm with a zero (not NaN) gradient at x == 0, matching torch's
     subgradient convention (double-where pattern)."""

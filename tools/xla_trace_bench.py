@@ -148,18 +148,24 @@ def report_direct(logdir="/tmp/xla_trace", top=40):
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         meta = {m.id: m.name for m in plane.event_metadata.values()}
+        # The device plane nests the same interval at several levels
+        # (module / op / fused-instruction lines): aggregating every line
+        # multi-counts each hardware interval. Pick ONE line — the one with
+        # the most events (the op-level line) — so totals are real seconds.
+        lines = [l for l in plane.lines
+                 if l.events and "Steps" not in l.name and "SparseCore" not in l.name]
+        if not lines:
+            continue
+        line = max(lines, key=lambda l: len(l.events))
         agg = {}
-        for line in plane.lines:
-            if "XLA Op" in line.name or "Steps" in line.name:
-                continue
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                dur = ev.duration_ps / 1e6  # us
-                c, t = agg.get(name, (0, 0.0))
-                agg[name] = (c + 1, t + dur)
+        for ev in line.events:
+            name = meta.get(ev.metadata_id, str(ev.metadata_id))
+            dur = ev.duration_ps / 1e6  # us
+            c, t = agg.get(name, (0, 0.0))
+            agg[name] = (c + 1, t + dur)
         total = sum(t for _, t in agg.values())
-        print(f"\n== plane '{plane.name}': {len(agg)} distinct ops, "
-              f"total {total/1e3:.1f} ms ==")
+        print(f"\n== plane '{plane.name}' line '{line.name}': {len(agg)} distinct "
+              f"ops, total {total/1e3:.1f} ms (all traced steps) ==")
         for name, (c, t) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:top]:
             print(f"{t:>12.1f} us {100*t/max(total,1e-9):5.1f}%  {c:>5}x  {name[:100]}")
 
