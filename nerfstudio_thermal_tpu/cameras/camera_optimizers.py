@@ -79,6 +79,15 @@ class CameraOptimizer(nn.Module):
             mask = mask.at[jnp.asarray(self.non_trainable_camera_indices)].set(True)
             eye_cam = jnp.broadcast_to(jnp.eye(4)[:3, :4], mats.shape)
             mats = jnp.where(mask[:, None, None], eye_cam, mats)
+        if self.num_cameras <= 4096:
+            # one-hot matmul instead of mats[indices]: the gather's VJP is an
+            # XLA scatter-add (~0.35 ms/step each on v5e); as a matmul both
+            # directions ride the MXU.
+            onehot = (
+                indices[..., None] == jnp.arange(self.num_cameras)
+            ).astype(mats.dtype)
+            per_ray = onehot @ mats.reshape(self.num_cameras, 12)
+            return per_ray.reshape(*indices.shape, 3, 4)
         return mats[indices]
 
     def apply_to_raybundle(self, bundle: RayBundle) -> RayBundle:

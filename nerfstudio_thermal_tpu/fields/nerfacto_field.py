@@ -195,12 +195,18 @@ class NerfactoField(nn.Module):
     ) -> jax.Array:
         """Color head: SH(dir) ++ geo_feat ++ appearance embed -> MLP -> sigmoid
         (reference nerfacto_field.py:272-348)."""
+        from nerfstudio_thermal_tpu.utils.math import broadcast_rows_mxu
+
         directions = ray_samples.directions  # unit
         sample_shape = ray_samples.starts.shape[:-1]
+        num_samples = sample_shape[-1]
         d = self.direction_encoding(directions)
-        d = jnp.broadcast_to(d[..., None, :], (*sample_shape, d.shape[-1]))
+        # per-ray -> per-sample via the matmul-repeat (broadcast_rows_mxu):
+        # broadcast_to's VJP reduces an [R, S, K] tensor with K=16/32 in the
+        # lane dim (~1 ms/step on v5e); the matmul VJP rides the MXU
+        d = broadcast_rows_mxu(d.reshape(-1, d.shape[-1]), num_samples)
 
-        parts = [d.reshape(-1, d.shape[-1]), geo_feat.reshape(-1, self.geo_feat_dim)]
+        parts = [d, geo_feat.reshape(-1, self.geo_feat_dim)]
         if self.appearance_embedding_dim > 0:
             cam_idx = ray_samples.camera_indices[..., 0]
             if train:
@@ -213,10 +219,11 @@ class NerfactoField(nn.Module):
                     )
                 else:
                     emb = jnp.zeros((*cam_idx.shape, self.appearance_embedding_dim))
-            emb = jnp.broadcast_to(
-                emb[..., None, :], (*sample_shape, self.appearance_embedding_dim)
+            parts.append(
+                broadcast_rows_mxu(
+                    emb.reshape(-1, self.appearance_embedding_dim), num_samples
+                )
             )
-            parts.append(emb.reshape(-1, self.appearance_embedding_dim))
 
         h = jnp.concatenate(parts, axis=-1)
         rgb = self.mlp_head(h).reshape(*sample_shape, self.num_channels)

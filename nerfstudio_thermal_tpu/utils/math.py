@@ -120,6 +120,20 @@ def cumsum_mxu(
     return jnp.moveaxis(out, -1, axis)
 
 
+def broadcast_rows_mxu(u: jax.Array, num_repeats: int) -> jax.Array:
+    """Repeat each row of [R, K] `num_repeats` times -> [R*S, K], written as
+    a matmul ([R, K] @ [K, S*K] selector, then a free row-major reshape).
+
+    The usual broadcast_to(u[:, None], (R, S, K)) has a VJP that reduces an
+    [R, S, K] tensor over the middle axis — with K small (16/32 per-ray
+    features) that tensor wastes the 128-lane dim and costs ~1 ms/step on
+    v5e. Both directions of the matmul form ride the MXU."""
+    r, k = u.shape
+    cols = jnp.arange(num_repeats * k)
+    m = (cols[None, :] % k == jnp.arange(k)[:, None]).astype(u.dtype)
+    return jnp.matmul(u, m).reshape(r * num_repeats, k)
+
+
 def safe_norm(x: jax.Array, axis=-1) -> jax.Array:
     """L2 norm with a zero (not NaN) gradient at x == 0, matching torch's
     subgradient convention (double-where pattern)."""

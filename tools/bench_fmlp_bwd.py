@@ -34,9 +34,11 @@ def run_one():
         bs.append(jnp.zeros((dout,), jnp.float32))
     ws, bs = tuple(ws), tuple(bs)
 
+    blk = int(os.environ.get("NS_FMLP_BLOCK", "2048"))
+
     def fwd(x, ws, bs):
         return fused_mlp(
-            x, ws, bs, "relu", None, 2048, False, skips, fe, "bfloat16"
+            x, ws, bs, "relu", None, blk, False, skips, fe, "bfloat16"
         )
 
     def loss(x, ws, bs):
