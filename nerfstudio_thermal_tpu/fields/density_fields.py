@@ -36,8 +36,10 @@ class HashMLPDensityField(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, positions: jax.Array) -> jax.Array:
-        """World positions [..., 3] -> density [..., 1] (fp32)."""
+    def __call__(self, positions: jax.Array = None, ray_samples=None) -> jax.Array:
+        """World positions [..., 3] (or ray_samples) -> density [..., 1] (fp32)."""
+        if positions is None:
+            positions = ray_samples.get_positions()
         if self.use_spatial_distortion:
             from nerfstudio_thermal_tpu.ops.spatial_distortions import SceneContraction
 
@@ -87,12 +89,52 @@ class MLPDensityField(nn.Module):
     use_spatial_distortion: bool = True
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fused_raymarch_input_grads: bool = True
+    """False when the model stop-gradients proposal positions
+    (proposal_camera_gradients=False): the fused backward then skips the
+    whole input-gradient chain."""
+    fused_raymarch: bool = False
+    """Evaluate via ops/pallas/fused_mlp.fused_ray_mlp when called with
+    ray_samples: positions + contraction + selector + encoding + MLP in one
+    kernel, no [N, 3]/[N, enc]/[N, width] HBM intermediates. Narrow proposal
+    stacks lose to XLA when only the MLP is fused (see MLP._fusable), but win
+    once the whole position machinery folds in."""
 
     @nn.compact
-    def __call__(self, positions: jax.Array) -> jax.Array:
-        """World positions [..., 3] -> density [..., 1] (fp32)."""
-        from nerfstudio_thermal_tpu.ops.encodings import NeRFEncoding
-
+    def __call__(self, positions: jax.Array = None, ray_samples=None) -> jax.Array:
+        """World positions [..., 3] (or ray_samples) -> density [..., 1] (fp32)."""
+        mlp = MLP(
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            out_dim=1,
+            compute_dtype=self.compute_dtype,
+            fused=self.use_pallas,
+            freq_encoding=(
+                self.num_frequencies, 0.0, self.num_frequencies - 1.0, True
+            ),
+            ray_input_grads=self.fused_raymarch_input_grads,
+            name="mlp",
+        )
+        if (
+            ray_samples is not None
+            and self.fused_raymarch
+            and self.use_spatial_distortion
+            and mlp.will_fuse_rays()
+        ):
+            sample_shape = ray_samples.starts.shape[:-1]
+            num_samples = sample_shape[-1]
+            origins = ray_samples.origins.reshape(-1, 3)
+            dirs = ray_samples.directions.reshape(-1, 3)
+            mids = ((ray_samples.starts + ray_samples.ends) * 0.5).reshape(-1, 1)
+            h = mlp(None, rays=(origins, dirs, mids, num_samples))
+            h = h.reshape(*sample_shape, 2)
+            selector = h[..., 1:].astype(jnp.float32)
+            density = self.average_init_density * trunc_exp(
+                h[..., :1].astype(jnp.float32)
+            )
+            return density * selector
+        if positions is None:
+            positions = ray_samples.get_positions()
         if self.use_spatial_distortion:
             from nerfstudio_thermal_tpu.ops.spatial_distortions import SceneContraction
 
@@ -106,34 +148,9 @@ class MLPDensityField(nn.Module):
         positions = positions * selector[..., None]
         flat = positions.reshape(-1, 3)
 
-        if self.use_pallas:
-            # encoding fused into the Pallas MLP kernel: no [N, enc] HBM tensor
-            h = MLP(
-                num_layers=self.num_layers,
-                layer_width=self.hidden_dim,
-                out_dim=1,
-                compute_dtype=self.compute_dtype,
-                fused=True,
-                freq_encoding=(
-                    self.num_frequencies, 0.0, self.num_frequencies - 1.0, True
-                ),
-                name="mlp",
-            )(flat)
-        else:
-            encoded = NeRFEncoding(
-                in_dim=3,
-                num_frequencies=self.num_frequencies,
-                min_freq_exp=0.0,
-                max_freq_exp=self.num_frequencies - 1,
-                include_input=True,
-            )(flat).astype(self.compute_dtype)
-            h = MLP(
-                num_layers=self.num_layers,
-                layer_width=self.hidden_dim,
-                out_dim=1,
-                compute_dtype=self.compute_dtype,
-                name="mlp",
-            )(encoded)
+        # The MLP handles encoding placement itself: in-kernel when the fused
+        # path engages, NeRFEncoding outside otherwise (same math/params).
+        h = mlp(flat)
         density_before = h.reshape(*positions.shape[:-1], 1).astype(jnp.float32)
         density = self.average_init_density * trunc_exp(density_before)
         return density * selector[..., None]

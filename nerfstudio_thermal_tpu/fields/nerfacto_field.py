@@ -58,6 +58,9 @@ class NerfactoField(nn.Module):
     pass_semantic_gradients: bool = False
     compute_dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    fused_raymarch: bool = False
+    """get_density_from_rays folds position generation + contraction +
+    selector into the fused Pallas kernel (fused_ray_mlp)."""
     field_encoding: str = "hash"
     """'hash' = Instant-NGP grid (reference parity); 'freq' = frequency-encoded
     deep MLP base — the TPU-native compute-dense option (hash gathers lower to
@@ -187,6 +190,39 @@ class NerfactoField(nn.Module):
     def density_fn(self, positions: jax.Array) -> jax.Array:
         return self.get_density(positions)[0]
 
+    def get_density_from_rays(
+        self, ray_samples: RaySamples
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Fused ray-march density: position generation, contraction,
+        selector, encoding, and the base MLP run in one Pallas kernel
+        (ops/pallas/fused_mlp.fused_ray_mlp) — the per-sample [R, S, 3]
+        position tensor never exists in HBM. Numerically identical to
+        get_density(ray_samples.get_positions()); falls back to it when the
+        config can't fuse (hash fields, no contraction, non-relu)."""
+        fusable = (
+            self.fused_raymarch
+            and self.field_encoding == "freq"
+            and self.use_spatial_distortion
+            and self.use_pallas
+            and self.mlp_base_net.will_fuse_rays()
+        )
+        if not fusable:
+            return self.get_density(ray_samples.get_positions())
+        sample_shape = ray_samples.starts.shape[:-1]
+        num_samples = sample_shape[-1]
+        origins = ray_samples.origins.reshape(-1, 3)
+        dirs = ray_samples.directions.reshape(-1, 3)
+        mids = ((ray_samples.starts + ray_samples.ends) * 0.5).reshape(-1, 1)
+        h = self.mlp_base_net(None, rays=(origins, dirs, mids, num_samples))
+        h = h.reshape(*sample_shape, h.shape[-1])
+        selector = h[..., -1:]
+        density_before, geo_feat = h[..., :1], h[..., 1:-1]
+        density = self.average_init_density * trunc_exp(
+            density_before.astype(jnp.float32)
+        )
+        density = density * selector.astype(jnp.float32)
+        return density, geo_feat
+
     def get_outputs(
         self,
         ray_samples: RaySamples,
@@ -231,7 +267,7 @@ class NerfactoField(nn.Module):
 
     def __call__(self, ray_samples: RaySamples, train: bool = True) -> dict:
         """Full field forward (reference base_field.py forward)."""
-        density, geo_feat = self.get_density(ray_samples.get_positions())
+        density, geo_feat = self.get_density_from_rays(ray_samples)
         rgb = self.get_outputs(ray_samples, geo_feat, train=train)
         out = {FieldHeadNames.DENSITY: density, FieldHeadNames.RGB: rgb}
         if self.num_semantic_classes > 0:

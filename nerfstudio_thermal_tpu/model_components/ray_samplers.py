@@ -207,9 +207,13 @@ def proposal_sample(
     """Hierarchical proposal-network sampling
     (reference ray_samplers.py:577-619).
 
-    density_fns[i](positions [R, S, 3]) -> density [R, S, 1]; one per proposal
-    level. `updated` gates gradient flow to the proposal densities (a traced
-    bool, stop_gradient switching). `anneal` exponentiates the weights.
+    density_fns[i](ray_samples) -> density [R, S, 1]; one per proposal level.
+    Each fn receives the RaySamples (not positions) so fused ray-march fields
+    can consume (origins, dirs, midpoints) directly — position tensors then
+    never exist in HBM (fields/density_fields.MLPDensityField fused_raymarch);
+    plain fields call .get_positions() themselves. `updated` gates gradient
+    flow to the proposal densities (a traced bool, stop_gradient switching).
+    `anneal` exponentiates the weights.
     Returns (final_samples, weights_list, samples_list).
     """
     n = len(num_proposal_samples_per_ray)
@@ -252,7 +256,7 @@ def proposal_sample(
                 rng=rngs[i_level],
             )
         if is_prop:
-            density = density_fns[i_level](ray_samples.get_positions())
+            density = density_fns[i_level](ray_samples)
             # Gradient to the proposal net only on scheduled update steps.
             density = jnp.where(
                 jnp.asarray(updated), density, jax.lax.stop_gradient(density)

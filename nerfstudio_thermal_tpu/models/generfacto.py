@@ -171,15 +171,15 @@ class GenerfactoModel(Model):
         )["params"]
         prop_keys = jax.random.split(k3, len(self.proposal_networks))
         params["proposal_networks"] = {
-            str(i): net.init(k, jnp.zeros((4, 4, 3)))["params"]
+            str(i): net.init(k, ray_samples=_dummy_ray_samples())["params"]
             for i, (net, k) in enumerate(zip(self.proposal_networks, prop_keys))
         }
         return params
 
     def _density_fns(self, params):
         return [
-            (lambda pos, net=net, p=params["proposal_networks"][str(i)]:
-             net.apply({"params": p}, pos))
+            (lambda samples, net=net, p=params["proposal_networks"][str(i)]:
+             net.apply({"params": p}, ray_samples=samples))
             for i, net in enumerate(self.proposal_networks)
         ]
 

@@ -97,6 +97,16 @@ class NerfactoModelConfig(ModelConfig):
     )
     compute_dtype: str = "float32"  # "bfloat16" on TPU for the MLP/hash path
     use_pallas: bool = False
+    fused_raymarch: bool = False
+    """Fold position generation + scene contraction + selector into the Pallas
+    BASE-field kernel (ops/pallas/fused_mlp.fused_ray_mlp): the field consumes
+    (origins, dirs, midpoints) and per-sample position tensors never exist in
+    HBM. Requires use_pallas + freq fields + scene contraction."""
+    fused_raymarch_proposals: bool = False
+    """Same fusion for the PROPOSAL density fields. Separate knob: the
+    64-wide proposal MLP runs ~2.5x slower under Pallas than XLA (narrow
+    matmuls waste the MXU), so folding the position machinery in must win
+    back more than that."""
     field_encoding: str = "hash"  # "hash" (reference parity) | "freq" (MXU-dense)
     freq_num_frequencies: int = 10
     freq_num_layers: int = 8
@@ -156,6 +166,7 @@ class NerfactoModel(Model):
             num_channels=3,
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
+            fused_raymarch=cfg.fused_raymarch,
             field_encoding=cfg.field_encoding,
             freq_num_frequencies=cfg.freq_num_frequencies,
             freq_num_layers=cfg.freq_num_layers,
@@ -202,6 +213,8 @@ class NerfactoModel(Model):
                 average_init_density=cfg.average_init_density,
                 compute_dtype=self._compute_dtype,
                 use_pallas=cfg.use_pallas,
+                fused_raymarch=cfg.fused_raymarch_proposals,
+                fused_raymarch_input_grads=cfg.proposal_camera_gradients,
                 **args,
             )
         return HashMLPDensityField(
@@ -224,7 +237,7 @@ class NerfactoModel(Model):
         params["fields"] = self.field.init(k_field, dummy_samples, train=True)["params"]
         prop_keys = jax.random.split(k_prop, len(self._unique_proposal_networks))
         params["proposal_networks"] = {
-            str(i): net.init(k, jnp.zeros((4, 4, 3)))["params"]
+            str(i): net.init(k, ray_samples=dummy_samples)["params"]
             for i, (net, k) in enumerate(zip(self._unique_proposal_networks, prop_keys))
         }
         if self.camera_optimizer.mode != "off":
@@ -241,10 +254,10 @@ class NerfactoModel(Model):
             net = unique[j]
             p = params["proposal_networks"][str(j)]
 
-            def fn(positions, net=net, p=p):
+            def fn(samples, net=net, p=p):
                 if not self.config.proposal_camera_gradients:
-                    positions = jax.lax.stop_gradient(positions)
-                return net.apply({"params": p}, positions)
+                    samples = jax.lax.stop_gradient(samples)
+                return net.apply({"params": p}, ray_samples=samples)
 
             fns.append(fn)
         return fns

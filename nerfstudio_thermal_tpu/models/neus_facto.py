@@ -20,6 +20,7 @@ from nerfstudio_thermal_tpu.fields.base_field import FieldHeadNames
 from nerfstudio_thermal_tpu.fields.density_fields import HashMLPDensityField
 from nerfstudio_thermal_tpu.model_components.losses import interlevel_loss
 from nerfstudio_thermal_tpu.model_components.ray_samplers import proposal_sample
+from nerfstudio_thermal_tpu.models.nerfacto import _dummy_ray_samples
 from nerfstudio_thermal_tpu.models.neus import NeuSModel, NeuSModelConfig
 
 
@@ -72,7 +73,7 @@ class NeuSFactoModel(NeuSModel):
         params = super().init_params(k1)
         prop_keys = jax.random.split(k2, len(self.proposal_networks))
         params["proposal_networks"] = {
-            str(i): net.init(k, jnp.zeros((4, 4, 3)))["params"]
+            str(i): net.init(k, ray_samples=_dummy_ray_samples())["params"]
             for i, (net, k) in enumerate(zip(self.proposal_networks, prop_keys))
         }
         return params
@@ -84,7 +85,11 @@ class NeuSFactoModel(NeuSModel):
             j = min(i, n_unique - 1)
             net = self.proposal_networks[j]
             p = params["proposal_networks"][str(j)]
-            fns.append(lambda pos, net=net, p=p: net.apply({"params": p}, pos))
+            fns.append(
+                lambda samples, net=net, p=p: net.apply(
+                    {"params": p}, ray_samples=samples
+                )
+            )
         return fns
 
     def sample_and_forward_field(

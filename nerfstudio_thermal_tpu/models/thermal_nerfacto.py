@@ -123,6 +123,7 @@ class ThermalNerfactoModel(NerfactoModel):
             num_channels=3 + (cfg.density_mode == "shared"),
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
+            fused_raymarch=cfg.fused_raymarch,
             field_encoding=cfg.field_encoding,
             freq_num_frequencies=cfg.freq_num_frequencies,
             freq_num_layers=cfg.freq_num_layers,
@@ -149,6 +150,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 num_channels=3 if cfg.fused_modalities else 1,
                 compute_dtype=compute_dtype,
                 use_pallas=cfg.use_pallas,
+                fused_raymarch=cfg.fused_raymarch,
                 field_encoding=cfg.field_encoding,
                 freq_num_frequencies=cfg.freq_num_frequencies,
                 freq_num_layers=cfg.freq_num_layers,
@@ -198,7 +200,7 @@ class ThermalNerfactoModel(NerfactoModel):
             )["params"]
             prop_keys = jax.random.split(keys[2], len(self.proposal_networks_thermal))
             params["proposal_networks_thermal"] = {
-                str(i): net.init(k, jnp.zeros((4, 4, 3)))["params"]
+                str(i): net.init(k, ray_samples=_dummy_ray_samples())["params"]
                 for i, (net, k) in enumerate(zip(self.proposal_networks_thermal, prop_keys))
             }
             if self.camera_optimizer_thermal.mode != "off":
@@ -222,10 +224,10 @@ class ThermalNerfactoModel(NerfactoModel):
         for i, net in enumerate(self.proposal_networks_thermal):
             p = params["proposal_networks_thermal"][str(i)]
 
-            def fn(positions, net=net, p=p):
+            def fn(samples, net=net, p=p):
                 if not self.config.proposal_camera_gradients:
-                    positions = jax.lax.stop_gradient(positions)
-                return net.apply({"params": p}, positions)
+                    samples = jax.lax.stop_gradient(samples)
+                return net.apply({"params": p}, ray_samples=samples)
 
             fns.append(fn)
         return fns
@@ -343,8 +345,8 @@ class ThermalNerfactoModel(NerfactoModel):
                 ray_samples_c = sub(ray_samples) if k < num_rays else ray_samples
                 d2, _ = self.field.apply(
                     {"params": params["fields"]},
-                    ray_samples_t_c.get_positions(),
-                    method=self.field.get_density,
+                    ray_samples_t_c,
+                    method=self.field.get_density_from_rays,
                 )
                 if cfg.use_gradient_scaling:
                     d2 = scale_gradients_by_distance_squared(
@@ -354,8 +356,8 @@ class ThermalNerfactoModel(NerfactoModel):
 
                 d2t, _ = self.field_thermal.apply(
                     {"params": params["fields_thermal"]},
-                    ray_samples_c.get_positions(),
-                    method=self.field_thermal.get_density,
+                    ray_samples_c,
+                    method=self.field_thermal.get_density_from_rays,
                 )
                 if cfg.use_gradient_scaling:
                     d2t = scale_gradients_by_distance_squared(
@@ -458,10 +460,10 @@ class ThermalNerfactoModel(NerfactoModel):
 
         def pipeline(fp, pp, bundle, key, anneal_i, updated_i):
             def make_fn(i):
-                def fn(pos, p=pp[str(i)], net=nets[i]):
+                def fn(samples, p=pp[str(i)], net=nets[i]):
                     if not cfg.proposal_camera_gradients:
-                        pos = jax.lax.stop_gradient(pos)
-                    return net.apply({"params": p}, pos)
+                        samples = jax.lax.stop_gradient(samples)
+                    return net.apply({"params": p}, ray_samples=samples)
                 return fn
 
             fns = [make_fn(i) for i in range(len(nets))]

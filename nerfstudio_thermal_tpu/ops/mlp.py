@@ -43,6 +43,11 @@ class MLP(nn.Module):
     frequency encoding INSIDE the fused kernel (x must then be raw f32
     coordinates) — the tcnn NetworkWithInputEncoding analogue. Forces the
     fused path; the [N, enc_dim] encoding never touches HBM."""
+    ray_input_grads: bool = True
+    """rays mode: compute d(origins)/d(dirs)/d(ts) in the backward kernel.
+    False when the caller stop-gradients the ray geometry (proposal fields
+    with proposal_camera_gradients=False) — skips the encoding/contraction/
+    posgen backward chain entirely."""
     final_init_scale: float = 1.0
     """Scale on the LAST layer's kernel init. Deep frequency-MLP base fields
     emit ~unit-variance raw density at lecun init, so trunc_exp starts wildly
@@ -50,6 +55,20 @@ class MLP(nn.Module):
     (reference encodings.py:375-379), which is why the hash configs never
     show the seed-dependent early density collapse the freq configs can.
     <1 starts the field near-uniform like the reference's."""
+
+    def _relu_out_ok(self) -> bool:
+        relu_ok = self.activation in (nn.relu, jax.nn.relu)
+        out_ok = self.out_activation in (None, nn.sigmoid, jax.nn.sigmoid)
+        return relu_ok and out_ok
+
+    def will_fuse_rays(self) -> bool:
+        """Whether __call__(rays=...) runs the fused ray-march kernel. No
+        width gate: even narrow (proposal) stacks win once position
+        generation + contraction + encoding fold into the kernel — the XLA
+        alternative pays HBM for every [N, enc]/[N, width] intermediate."""
+        return (
+            self.fused and self._relu_out_ok() and self.freq_encoding is not None
+        )
 
     def _fusable(self) -> bool:
         relu_ok = self.activation in (nn.relu, jax.nn.relu)
@@ -68,8 +87,67 @@ class MLP(nn.Module):
         nf, _, _, include_input = self.freq_encoding
         return 3 * nf * 2 + (3 if include_input else 0)
 
+    def _fused_params(self, in_dim: int):
+        """Per-layer (weights, biases) params with the fused-path naming."""
+        skips = set(self.skip_connections)
+        num_linears = 1 if self.num_layers == 1 else self.num_layers
+        weights, biases = [], []
+        prev = in_dim
+        for i in range(num_linears):
+            is_last = i == num_linears - 1
+            width = self.out_dim if is_last else self.layer_width
+            din = prev + (in_dim if (i in skips and i != 0) else 0)
+            init = nn.initializers.lecun_normal()
+            if is_last and self.final_init_scale != 1.0:
+                init = nn.initializers.variance_scaling(
+                    self.final_init_scale**2, "fan_in", "truncated_normal"
+                )
+            weights.append(
+                self.param(f"Dense_{i}_kernel", init, (din, width), jnp.float32)
+            )
+            biases.append(
+                self.param(
+                    f"Dense_{i}_bias", nn.initializers.zeros, (width,), jnp.float32
+                )
+            )
+            prev = width
+        return tuple(weights), tuple(biases)
+
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: Optional[jax.Array],
+        rays: Optional[Tuple[jax.Array, jax.Array, jax.Array, int]] = None,
+    ) -> jax.Array:
+        if rays is not None:
+            # Fused ray-march: (origins [R,3], dirs [R,3], ts [R*S,1], S).
+            # Position generation + inf-norm contraction + selector +
+            # frequency encoding + MLP run in one Pallas kernel; returns
+            # [R*S, out_dim + 1] with the in-scene selector as the last lane.
+            # Callers gate on will_fuse_rays().
+            from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_ray_mlp
+
+            assert self.will_fuse_rays()
+            origins, dirs, ts, num_samples = rays
+            weights, biases = self._fused_params(self._enc_dim())
+            out_act = "sigmoid" if self.out_activation is not None else None
+            return fused_ray_mlp(
+                origins.astype(jnp.float32),
+                dirs.astype(jnp.float32),
+                ts.astype(jnp.float32),
+                weights,
+                biases,
+                num_samples,
+                "relu",
+                out_act,
+                self.fused_block_size,
+                jax.default_backend() == "cpu",
+                tuple(sorted(set(self.skip_connections))),
+                self.freq_encoding,
+                jnp.dtype(self.compute_dtype).name,
+                self.ray_input_grads,
+            )
+
         use_fused = self._fusable()
         in_kernel_enc = use_fused and self.freq_encoding is not None
         if in_kernel_enc:
@@ -95,36 +173,12 @@ class MLP(nn.Module):
             from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_mlp
 
             in_dim = self._enc_dim() if in_kernel_enc else x.shape[-1]
-            weights, biases = [], []
-            prev = in_dim
-            for i in range(num_linears):
-                is_last = i == num_linears - 1
-                width = self.out_dim if is_last else self.layer_width
-                din = prev + (in_dim if (i in skips and i != 0) else 0)
-                init = nn.initializers.lecun_normal()
-                if is_last and self.final_init_scale != 1.0:
-                    init = nn.initializers.variance_scaling(
-                        self.final_init_scale**2, "fan_in", "truncated_normal"
-                    )
-                weights.append(
-                    self.param(
-                        f"Dense_{i}_kernel",
-                        init,
-                        (din, width),
-                        jnp.float32,
-                    )
-                )
-                biases.append(
-                    self.param(
-                        f"Dense_{i}_bias", nn.initializers.zeros, (width,), jnp.float32
-                    )
-                )
-                prev = width
+            weights, biases = self._fused_params(in_dim)
             out_act = "sigmoid" if self.out_activation is not None else None
             return fused_mlp(
                 x.reshape(-1, x.shape[-1]),
-                tuple(weights),
-                tuple(biases),
+                weights,
+                biases,
                 "relu",
                 out_act,
                 self.fused_block_size,

@@ -82,18 +82,9 @@ def _apply_act(h, name: Optional[str]):
     raise ValueError(f"unsupported activation {name}")
 
 
-def _fwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, refs):
-    x_ref = refs[0]
-    w_refs = refs[1 : 1 + num_layers]
-    b_refs = refs[1 + num_layers : 1 + 2 * num_layers]
-    out_ref = refs[1 + 2 * num_layers]
-
-    cdt = w_refs[0].dtype
-    if freq_encoding is not None:
-        enc, _ = _encode(x_ref[:].astype(jnp.float32), freq_encoding, x_ref.shape[-1])
-        x0 = enc.astype(cdt)
-    else:
-        x0 = x_ref[:].astype(cdt)
+def _mlp_fwd_core(x0, w_refs, b_refs, num_layers, activation, out_activation, skips):
+    """Forward MLP loop on an already-encoded VMEM block x0 (compute dtype)."""
+    cdt = x0.dtype
     h = x0
     for li in range(num_layers):
         if li in skips and li != 0:
@@ -107,6 +98,82 @@ def _fwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, re
         else:
             h = _apply_act(h, out_activation)
         h = h.astype(cdt)
+    return h
+
+
+def _mlp_bwd_core(
+    x0, g, w_refs, b_refs, dw_refs, db_refs,
+    num_layers, activation, out_activation, skips,
+):
+    """Recompute forward from encoded block x0, accumulate dW/db into the
+    VMEM-resident output refs, and return d_x0 (f32, w.r.t. the encoded
+    input)."""
+    cdt = x0.dtype
+    in_dim = x0.shape[-1]
+    h = x0
+    post_acts = []  # activated output of each layer, compute dtype
+    final_pre = None
+    for li in range(num_layers):
+        if li in skips and li != 0:
+            h = jnp.concatenate([x0, h], axis=-1)
+        pre = (
+            jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
+            + b_refs[li][:].astype(jnp.float32)
+        )
+        if li < num_layers - 1:
+            h = _apply_act(pre, activation).astype(cdt)
+        else:
+            final_pre = pre
+            h = _apply_act(pre, out_activation).astype(cdt)
+        post_acts.append(h)
+
+    def layer_input(li):
+        h_prev = x0 if li == 0 else post_acts[li - 1]
+        if li in skips and li != 0:
+            return jnp.concatenate([x0, h_prev], axis=-1)
+        return h_prev
+
+    dx_accum = jnp.zeros_like(x0, dtype=jnp.float32)
+    dh = g.astype(jnp.float32)
+    if out_activation == "sigmoid":
+        y = jax.nn.sigmoid(final_pre)
+        dh = dh * y * (1.0 - y)
+    for li in reversed(range(num_layers)):
+        if li < num_layers - 1 and activation == "relu":
+            # f32 compare: sub-word comparisons are unsupported by Mosaic
+            dh = dh * (post_acts[li].astype(jnp.float32) > 0.0)
+        x_in = layer_input(li).astype(cdt)
+        dhc = dh.astype(cdt)
+        # batch-contracting dot_general == x_in.T @ dhc without asking Mosaic
+        # to materialize a [width, blk] transpose first
+        dw_refs[li][:] += jax.lax.dot_general(
+            x_in, dhc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_refs[li][:] += jnp.sum(dh, axis=0, keepdims=True)
+        dh = jnp.dot(dhc, w_refs[li][:].T, preferred_element_type=jnp.float32)
+        if li in skips and li != 0:
+            # layer input was concat([x0, h_prev]); split the gradient
+            dx_accum = dx_accum + dh[:, :in_dim]
+            dh = dh[:, in_dim:]
+        if li == 0:
+            dx_accum = dx_accum + dh
+    return dx_accum
+
+
+def _fwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, refs):
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + num_layers]
+    b_refs = refs[1 + num_layers : 1 + 2 * num_layers]
+    out_ref = refs[1 + 2 * num_layers]
+
+    cdt = w_refs[0].dtype
+    if freq_encoding is not None:
+        enc, _ = _encode(x_ref[:].astype(jnp.float32), freq_encoding, x_ref.shape[-1])
+        x0 = enc.astype(cdt)
+    else:
+        x0 = x_ref[:].astype(cdt)
+    h = _mlp_fwd_core(x0, w_refs, b_refs, num_layers, activation, out_activation, skips)
     out_ref[:] = h.astype(out_ref.dtype)
 
 
@@ -138,56 +205,10 @@ def _bwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, re
         x0 = enc.astype(cdt)
     else:
         x0 = x_ref[:].astype(cdt)
-    in_dim = x0.shape[-1]
-    h = x0
-    post_acts = []  # activated output of each layer, compute dtype
-    final_pre = None
-    for li in range(num_layers):
-        if li in skips and li != 0:
-            h = jnp.concatenate([x0, h], axis=-1)
-        pre = (
-            jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
-            + b_refs[li][:].astype(jnp.float32)
-        )
-        if li < num_layers - 1:
-            h = _apply_act(pre, activation).astype(cdt)
-        else:
-            final_pre = pre
-            h = _apply_act(pre, out_activation).astype(cdt)
-        post_acts.append(h)
-
-    def layer_input(li):
-        h_prev = x0 if li == 0 else post_acts[li - 1]
-        if li in skips and li != 0:
-            return jnp.concatenate([x0, h_prev], axis=-1)
-        return h_prev
-
-    # backward
-    dx_accum = jnp.zeros_like(x0, dtype=jnp.float32)
-    dh = g_ref[:].astype(jnp.float32)
-    if out_activation == "sigmoid":
-        y = jax.nn.sigmoid(final_pre)
-        dh = dh * y * (1.0 - y)
-    for li in reversed(range(num_layers)):
-        if li < num_layers - 1 and activation == "relu":
-            # f32 compare: sub-word comparisons are unsupported by Mosaic
-            dh = dh * (post_acts[li].astype(jnp.float32) > 0.0)
-        x_in = layer_input(li).astype(cdt)
-        dhc = dh.astype(cdt)
-        # batch-contracting dot_general == x_in.T @ dhc without asking Mosaic
-        # to materialize a [width, blk] transpose first
-        dw_refs[li][:] += jax.lax.dot_general(
-            x_in, dhc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        db_refs[li][:] += jnp.sum(dh, axis=0, keepdims=True)
-        dh = jnp.dot(dhc, w_refs[li][:].T, preferred_element_type=jnp.float32)
-        if li in skips and li != 0:
-            # layer input was concat([x0, h_prev]); split the gradient
-            dx_accum = dx_accum + dh[:, :in_dim]
-            dh = dh[:, in_dim:]
-        if li == 0:
-            dx_accum = dx_accum + dh
+    dx_accum = _mlp_bwd_core(
+        x0, g_ref[:], w_refs, b_refs, dw_refs, db_refs,
+        num_layers, activation, out_activation, skips,
+    )
     if freq_encoding is not None:
         dx_accum = _encode_bwd(raw, pre_enc, dx_accum, freq_encoding, x_ref.shape[-1])
     dx_ref[:] = dx_accum.astype(dx_ref.dtype)
@@ -385,3 +406,361 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
 
 
 fused_mlp.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused ray-march: positions + scene contraction + encoding + MLP in VMEM.
+#
+# The XLA train step spends ~4 ms/step (v5e trace, tools/xla_trace_bench.py)
+# on base-field position machinery alone: `o + t*d` broadcasts into
+# [R, S, 3] tensors (3 useful lanes of 128), scene-contraction fwd/bwd
+# fusions, and layout copies feeding the MLP kernel. Taking (origins, dirs,
+# midpoints) instead of positions moves all of it into the kernel: the
+# per-sample position tensor never exists in HBM, and the per-ray -> per-
+# sample expansion is an iota-built one-hot matmul that rides the MXU in
+# both directions (the XLA broadcast's VJP is a narrow-lane reduction).
+# This is the TPU analogue of a fused ray-march (SURVEY.md §7.2 step 8);
+# the tcnn role it replaces is reference field_components/mlp.py:250-268.
+# ---------------------------------------------------------------------------
+
+
+def _rep_matrix(n: int, r: int, s: int):
+    """[n, r] one-hot row-repeat selector: rep[i, j] = 1 iff i // s == j."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, r), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, r), 1)
+    return (rows // s == cols).astype(jnp.float32)
+
+
+def _posgen_fwd(o, d, t, num_samples):
+    """o, d [r, 3] f32; t [r*S, 1] f32 -> (pos [r*S, 3], d_rep, rep)."""
+    r = o.shape[0]
+    rep = _rep_matrix(r * num_samples, r, num_samples)
+    o_rep = jnp.dot(rep, o, preferred_element_type=jnp.float32)
+    d_rep = jnp.dot(rep, d, preferred_element_type=jnp.float32)
+    return o_rep + t * d_rep, d_rep, rep
+
+
+def _contract_fwd(pos):
+    """MipNeRF-360 contraction (order=inf) + (x+2)/4 + in-(0,1)^3 selector,
+    matching fields' `_normalize_positions` (ops/spatial_distortions.py)."""
+    mag = jnp.max(jnp.abs(pos), axis=-1, keepdims=True)
+    safe = jnp.maximum(mag, 1e-12)
+    contracted = (2.0 - 1.0 / safe) * (pos / safe)
+    cpos = jnp.where(mag < 1.0, pos, contracted)
+    p01 = (cpos + 2.0) * 0.25
+    inb = jnp.logical_and(p01 > 0.0, p01 < 1.0).astype(jnp.float32)
+    sel = jnp.min(inb, axis=-1, keepdims=True)
+    return p01 * sel, sel, mag, safe
+
+
+def _contract_bwd(dx, pos, sel, mag, safe):
+    """VJP of `_contract_fwd`'s position output w.r.t. pos. The selector is
+    piecewise-constant (zero gradient), matching the XLA path where it is a
+    boolean mask."""
+    g = dx * sel * 0.25  # through p01 = (c + 2)/4 and x = p01 * sel
+    m = safe
+    gdotx = jnp.sum(g * pos, axis=-1, keepdims=True)
+    s = jnp.sign(pos) * (jnp.abs(pos) >= mag).astype(jnp.float32)
+    d_contracted = g * (2.0 / m - 1.0 / (m * m)) + gdotx * (
+        2.0 / (m * m * m) - 2.0 / (m * m)
+    ) * s
+    return jnp.where(mag < 1.0, g, d_contracted)
+
+
+def _ray_fwd_kernel(
+    num_layers, activation, out_activation, skips, freq_encoding, num_samples, refs
+):
+    o_ref, d_ref, t_ref = refs[0], refs[1], refs[2]
+    w_refs = refs[3 : 3 + num_layers]
+    b_refs = refs[3 + num_layers : 3 + 2 * num_layers]
+    out_ref = refs[3 + 2 * num_layers]
+
+    cdt = w_refs[0].dtype
+    pos, _, _ = _posgen_fwd(
+        o_ref[:].astype(jnp.float32), d_ref[:].astype(jnp.float32),
+        t_ref[:].astype(jnp.float32), num_samples,
+    )
+    x, sel, _, _ = _contract_fwd(pos)
+    enc, _ = _encode(x, freq_encoding, 3)
+    h = _mlp_fwd_core(
+        enc.astype(cdt), w_refs, b_refs, num_layers, activation, out_activation, skips
+    )
+    out_ref[:] = jnp.concatenate(
+        [h.astype(out_ref.dtype), sel.astype(out_ref.dtype)], axis=-1
+    )
+
+
+def _ray_bwd_kernel(
+    num_layers, activation, out_activation, skips, freq_encoding, num_samples,
+    out_dim, need_input_grads, refs,
+):
+    n = num_layers
+    o_ref, d_ref, t_ref, g_ref = refs[0], refs[1], refs[2], refs[3]
+    w_refs = refs[4 : 4 + n]
+    b_refs = refs[4 + n : 4 + 2 * n]
+    k = 3 if need_input_grads else 0
+    if need_input_grads:
+        do_ref, dd_ref, dt_ref = refs[4 + 2 * n : 7 + 2 * n]
+    dw_refs = refs[4 + k + 2 * n : 4 + k + 3 * n]
+    db_refs = refs[4 + k + 3 * n : 4 + k + 4 * n]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for li in range(num_layers):
+            dw_refs[li][:] = jnp.zeros_like(dw_refs[li])
+            db_refs[li][:] = jnp.zeros_like(db_refs[li])
+
+    cdt = w_refs[0].dtype
+    t = t_ref[:].astype(jnp.float32)
+    pos, d_rep, rep = _posgen_fwd(
+        o_ref[:].astype(jnp.float32), d_ref[:].astype(jnp.float32), t, num_samples
+    )
+    x, sel, mag, safe = _contract_fwd(pos)
+    enc, pre_enc = _encode(x, freq_encoding, 3)
+
+    d_enc = _mlp_bwd_core(
+        enc.astype(cdt), g_ref[:, :out_dim], w_refs, b_refs, dw_refs, db_refs,
+        num_layers, activation, out_activation, skips,
+    )
+    if not need_input_grads:
+        # Proposal fields with proposal_camera_gradients=False: the caller
+        # stop-gradients (o, d, t), so the whole input-grad chain (encoding
+        # backward, contraction VJP, posgen transposes) is dead weight.
+        return
+    dx = _encode_bwd(x, pre_enc, d_enc, freq_encoding, 3)
+    d_pos = _contract_bwd(dx, pos, sel, mag, safe)
+    # pos = rep@o + t * (rep@d): transpose the selector matmuls back
+    do_ref[:] = jax.lax.dot_general(
+        rep, d_pos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dd_ref[:] = jax.lax.dot_general(
+        rep, d_pos * t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dt_ref[:] = jnp.sum(d_pos * d_rep, axis=-1, keepdims=True)
+
+
+def _resolve_ray_blocks(block_size, num_samples, num_layers, width, dtype, bwd):
+    """Block sizing for the ray kernels: blk points = blk_r rays * S samples,
+    bounded by the same VMEM budgets as the point kernels plus the padded
+    narrow-lane position temps (~[blk, 128] f32 each) and the [blk, blk_r]
+    repeat selector."""
+    act_bytes = 2 if dtype == jnp.bfloat16 else 4
+    if bwd:
+        per_point = num_layers * width * act_bytes + 8 * 1024
+        import os
+
+        budget = int(os.environ.get("NS_FMLP_BWD_BUDGET_MB", "5")) * 1024 * 1024
+    else:
+        per_point = width * 6 + 4 * 1024
+        budget = 24 * 2**20
+    per_point += 12 * 512  # posgen/contraction temps, lane-padded f32
+    blk = min(block_size, max(512, budget // max(per_point, 1) // 512 * 512))
+    # Mosaic requires the sublane dim of the [blk_r, 3] origin/dir blocks to
+    # be a multiple of 8 (the f32 tile height).
+    blk_r = max(8, blk // num_samples // 8 * 8)
+    return blk_r * num_samples, blk_r
+
+
+def _pad_rays(origins, dirs, ts, num_samples, blk_r):
+    r = origins.shape[0]
+    pad = (-r) % blk_r
+    if pad:
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad, 3), origins.dtype)], axis=0
+        )
+        dirs = jnp.concatenate([dirs, jnp.zeros((pad, 3), dirs.dtype)], axis=0)
+        ts = jnp.concatenate(
+            [ts, jnp.zeros((pad * num_samples, 1), ts.dtype)], axis=0
+        )
+    return origins, dirs, ts, r
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
+)
+def fused_ray_mlp(
+    origins: jax.Array,  # [R, 3] f32 world-space ray origins
+    dirs: jax.Array,  # [R, 3] f32 ray directions
+    ts: jax.Array,  # [R * S, 1] f32 sample midpoints (row-major per ray)
+    weights: Tuple[jax.Array, ...],
+    biases: Tuple[jax.Array, ...],
+    num_samples: int,
+    activation: str = "relu",
+    out_activation: Optional[str] = None,
+    block_size: int = 2048,
+    interpret: bool = False,
+    skip_connections: Tuple[int, ...] = (),
+    freq_encoding: Tuple[int, float, float, bool] = (10, 0.0, 9.0, True),
+    compute_dtype: Optional[str] = None,
+    need_input_grads: bool = True,
+) -> jax.Array:
+    """Fused ray-march field evaluation. Returns [R * S, out_dim + 1]: the MLP
+    outputs plus a final in-scene selector lane (0/1), so callers can apply
+    the reference's `density * selector` zeroing without the positions ever
+    existing in HBM. Position generation (o + t*d), MipNeRF-360 inf-norm
+    contraction with (x+2)/4 rescale and selector zeroing (the fields'
+    `_normalize_positions`), frequency encoding, and the MLP stack all run
+    per-block in VMEM."""
+    return _fused_ray_fwd_impl(
+        origins, dirs, ts, weights, biases, num_samples, activation,
+        out_activation, block_size, interpret, skip_connections, freq_encoding,
+        compute_dtype,
+    )
+
+
+def _fused_ray_fwd_impl(
+    origins, dirs, ts, weights, biases, num_samples, activation, out_activation,
+    block_size, interpret, skips, freq_encoding, compute_dtype,
+):
+    num_layers = len(weights)
+    out_dim = weights[-1].shape[-1]
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
+    width = max(w.shape[-1] for w in weights)
+    blk, blk_r = _resolve_ray_blocks(
+        block_size, num_samples, num_layers, width, dtype, bwd=False
+    )
+    op, dp, tp, r = _pad_rays(origins, dirs, ts, num_samples, blk_r)
+    grid = op.shape[0] // blk_r
+
+    w_cast = [w.astype(dtype) for w in weights]
+    b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
+
+    kernel = functools.partial(
+        lambda *refs: _ray_fwd_kernel(
+            num_layers, activation, out_activation, tuple(skips), freq_encoding,
+            num_samples, refs,
+        )
+    )
+    in_specs = [
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in w_cast:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in b_cast:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (blk, out_dim + 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((op.shape[0] * num_samples, out_dim + 1), dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel",),
+        ),
+    )(op, dp, tp, *w_cast, *b_cast)
+    return out[: r * num_samples]
+
+
+def _fused_ray_fwd(
+    origins, dirs, ts, weights, biases, num_samples, activation, out_activation,
+    block_size, interpret, skip_connections, freq_encoding, compute_dtype,
+    need_input_grads,
+):
+    out = _fused_ray_fwd_impl(
+        origins, dirs, ts, weights, biases, num_samples, activation,
+        out_activation, block_size, interpret, skip_connections, freq_encoding,
+        compute_dtype,
+    )
+    return out, (origins, dirs, ts, weights, biases)
+
+
+def _fused_ray_bwd(
+    num_samples, activation, out_activation, block_size, interpret,
+    skip_connections, freq_encoding, compute_dtype, need_input_grads, res, g,
+):
+    origins, dirs, ts, weights, biases = res
+    num_layers = len(weights)
+    out_dim = weights[-1].shape[-1]
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
+    width = max(w.shape[-1] for w in weights)
+    blk, blk_r = _resolve_ray_blocks(
+        block_size, num_samples, num_layers, width, dtype, bwd=True
+    )
+    op, dp, tp, r = _pad_rays(origins, dirs, ts, num_samples, blk_r)
+    gp, _ = _pad_batch(g.astype(dtype), blk)
+    grid = op.shape[0] // blk_r
+
+    w_cast = [w.astype(dtype) for w in weights]
+    b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
+
+    kernel = functools.partial(
+        lambda *refs: _ray_bwd_kernel(
+            num_layers, activation, out_activation, tuple(skip_connections),
+            freq_encoding, num_samples, out_dim, need_input_grads, refs,
+        )
+    )
+    in_specs = [
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, out_dim + 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in w_cast:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in b_cast:
+        in_specs.append(pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+
+    if need_input_grads:
+        out_shapes = [
+            jax.ShapeDtypeStruct((op.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((op.shape[0], 3), jnp.float32),
+            jax.ShapeDtypeStruct((op.shape[0] * num_samples, 1), jnp.float32),
+        ]
+        out_specs = [
+            pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        out_shapes, out_specs = [], []
+    for w in weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[-1]), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, b.shape[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        # arbitrary (sequential): dw/db += accumulation across grid steps
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("arbitrary",),
+        ),
+    )(op, dp, tp, gp, *w_cast, *b_cast)
+
+    k = 3 if need_input_grads else 0
+    if need_input_grads:
+        d_o = outs[0][:r].astype(origins.dtype)
+        d_d = outs[1][:r].astype(dirs.dtype)
+        d_t = outs[2][: r * num_samples].astype(ts.dtype)
+    else:
+        d_o = jnp.zeros_like(origins)
+        d_d = jnp.zeros_like(dirs)
+        d_t = jnp.zeros_like(ts)
+    dws = tuple(
+        dw.astype(w.dtype) for dw, w in zip(outs[k : k + num_layers], weights)
+    )
+    dbs = tuple(
+        db.reshape(b.shape).astype(b.dtype)
+        for db, b in zip(outs[k + num_layers :], biases)
+    )
+    return d_o, d_d, d_t, dws, dbs
+
+
+fused_ray_mlp.defvjp(_fused_ray_fwd, _fused_ray_bwd)

@@ -71,7 +71,8 @@ def test_proposal_sampler_shapes_and_grad_gating():
     rb = make_bundle(R=4, near=0.05, far=100.0)
 
     def make_density_fn(scale):
-        def fn(positions):
+        def fn(samples):  # density fns receive RaySamples (ray_samplers.py)
+            positions = samples.get_positions()
             return jnp.sum(positions**2, axis=-1, keepdims=True) * 0.0 + scale
 
         return fn
@@ -91,8 +92,8 @@ def test_proposal_sampler_shapes_and_grad_gating():
 
     # gradient gating: with updated=False, grads to the density scale vanish
     def loss(scale, updated):
-        def dens_fn(p):
-            return jnp.ones_like(p[..., :1]) * scale
+        def dens_fn(samples):
+            return jnp.ones_like(samples.get_positions()[..., :1]) * scale
 
         _, wl, _ = proposal_sample(
             rb,

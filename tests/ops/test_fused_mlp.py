@@ -108,3 +108,125 @@ def test_fused_mlp_skip_connections():
     g2 = jax.grad(loss_r, argnums=(0, 1, 2))(x, ws, bs)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused_ray_mlp: positions + contraction + encoding + MLP in one kernel
+# ---------------------------------------------------------------------------
+
+from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_ray_mlp  # noqa: E402
+
+
+def _ray_reference(origins, dirs, ts, ws, bs, num_samples, num_freqs, skips=()):
+    """XLA composition the kernel must match: posgen -> inf-norm contraction
+    -> (x+2)/4 -> selector zeroing -> NeRF freq encoding -> MLP. Mirrors
+    fields/nerfacto_field._normalize_positions + ops/encodings.NeRFEncoding."""
+    r = origins.shape[0]
+    t = ts.reshape(r, num_samples, 1)
+    pos = origins[:, None, :] + t * dirs[:, None, :]
+    pos = pos.reshape(-1, 3)
+    mag = jnp.max(jnp.abs(pos), axis=-1, keepdims=True)
+    safe = jnp.maximum(mag, 1e-12)
+    contracted = (2.0 - 1.0 / safe) * (pos / safe)
+    cpos = jnp.where(mag < 1.0, pos, contracted)
+    p01 = (cpos + 2.0) * 0.25
+    sel = jnp.all((p01 > 0.0) & (p01 < 1.0), axis=-1, keepdims=True)
+    x = p01 * sel
+    # NeRF encoding (ops/encodings.NeRFEncoding semantics, include_input)
+    exps = jnp.linspace(0.0, num_freqs - 1.0, num_freqs)
+    freqs = 2.0 * jnp.pi * 2.0**exps
+    pre = (x[..., None] * freqs).reshape(x.shape[0], 3 * num_freqs)
+    enc = jnp.concatenate([jnp.sin(pre), jnp.cos(pre), x], axis=-1)
+    h = enc
+    for i, (w, b) in enumerate(zip(ws, bs)):
+        if i in skips and i != 0:
+            h = jnp.concatenate([enc, h], axis=-1)
+        h = h @ w + b
+        if i < len(ws) - 1:
+            h = jnp.maximum(h, 0.0)
+    return h, sel.astype(h.dtype)
+
+
+def _make_rays(key, num_rays, num_samples):
+    k1, k2, k3 = jax.random.split(key, 3)
+    origins = jax.random.normal(k1, (num_rays, 3)) * 0.3
+    dirs = jax.random.normal(k2, (num_rays, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # spread samples from inside the unit ball to well past it (exercises
+    # both contraction branches and the selector boundary)
+    ts = jnp.abs(jax.random.uniform(k3, (num_rays * num_samples, 1))) * 6.0
+    return origins, dirs, ts
+
+
+def test_fused_ray_mlp_forward_matches():
+    num_freqs, S = 4, 6
+    enc_dim = 3 * num_freqs * 2 + 3
+    dims = (enc_dim, 32, 32, 8)
+    ws, bs = make_params(jax.random.PRNGKey(0), dims)
+    origins, dirs, ts = _make_rays(jax.random.PRNGKey(1), 10, S)  # pads blk_r
+    got = fused_ray_mlp(
+        origins, dirs, ts, ws, bs, S, "relu", None, 4 * S, True, (),
+        (num_freqs, 0.0, num_freqs - 1.0, True),
+    )
+    want_h, want_sel = _ray_reference(origins, dirs, ts, ws, bs, S, num_freqs)
+    np.testing.assert_allclose(np.asarray(got[:, :-1]), np.asarray(want_h), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got[:, -1:]), np.asarray(want_sel), rtol=0, atol=0)
+
+
+def test_fused_ray_mlp_gradients_match():
+    num_freqs, S = 3, 4
+    enc_dim = 3 * num_freqs * 2 + 3
+    dims = (enc_dim, 16, 16, 4)
+    skips = (1,)
+    ws, bs = [], []
+    key = jax.random.PRNGKey(2)
+    for i in range(3):
+        din = dims[i] + (enc_dim if i in skips and i != 0 else 0)
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(jax.random.normal(k1, (din, dims[i + 1])) * 0.3)
+        bs.append(jax.random.normal(k2, (dims[i + 1],)) * 0.1)
+    ws, bs = tuple(ws), tuple(bs)
+    origins, dirs, ts = _make_rays(jax.random.PRNGKey(3), 8, S)
+    tgt = jax.random.normal(jax.random.PRNGKey(4), (8 * S, 4))
+
+    def loss_fused(origins, dirs, ts, ws, bs):
+        out = fused_ray_mlp(
+            origins, dirs, ts, ws, bs, S, "relu", None, 4 * S, True, skips,
+            (num_freqs, 0.0, num_freqs - 1.0, True),
+        )
+        return jnp.mean((out[:, :-1] - tgt) ** 2) + jnp.sum(out[:, -1]) * 0.1
+
+    def loss_ref(origins, dirs, ts, ws, bs):
+        h, sel = _ray_reference(origins, dirs, ts, ws, bs, S, num_freqs, skips)
+        return jnp.mean((h - tgt) ** 2) + jnp.sum(sel) * 0.1
+
+    v1 = loss_fused(origins, dirs, ts, ws, bs)
+    v2 = loss_ref(origins, dirs, ts, ws, bs)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(origins, dirs, ts, ws, bs)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(origins, dirs, ts, ws, bs)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_fused_ray_mlp_no_input_grads():
+    """need_input_grads=False: weight grads identical, input grads zero."""
+    num_freqs, S = 3, 4
+    enc_dim = 3 * num_freqs * 2 + 3
+    dims = (enc_dim, 16, 1)
+    ws, bs = make_params(jax.random.PRNGKey(5), dims)
+    origins, dirs, ts = _make_rays(jax.random.PRNGKey(6), 8, S)
+    fe = (num_freqs, 0.0, num_freqs - 1.0, True)
+
+    def loss(o, d, t, ws, bs, nig):
+        out = fused_ray_mlp(
+            o, d, t, ws, bs, S, "relu", None, 4 * S, True, (), fe, None, nig
+        )
+        return jnp.sum(out[:, :-1] ** 2)
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(origins, dirs, ts, ws, bs, True)
+    g_skip = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(origins, dirs, ts, ws, bs, False)
+    for a in jax.tree.leaves(g_skip[:3]):
+        assert float(jnp.sum(jnp.abs(a))) == 0.0
+    for a, b in zip(jax.tree.leaves(g_full[3:]), jax.tree.leaves(g_skip[3:])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
