@@ -19,6 +19,7 @@ def make_weights(tmp_path, monkeypatch):
     np.savez(path, **arrs)
     monkeypatch.setenv("NS_LPIPS_WEIGHTS", str(path))
     import nerfstudio_thermal_tpu.utils.lpips as L
+    L._weights_path.cache_clear()  # may hold a stale None from earlier tests
     L._load_weights.cache_clear()
     return path
 
