@@ -61,6 +61,12 @@ class NerfactoField(nn.Module):
     fused_raymarch: bool = False
     """get_density_from_rays folds position generation + contraction +
     selector into the fused Pallas kernel (fused_ray_mlp)."""
+    fused_field: bool = False
+    """__call__ runs the WHOLE field (ray-march + base MLP + SH + appearance
+    + color head) as one Pallas kernel (fused_field_mlp): geo features, SH
+    components, and head inputs never exist in HBM. Requires the
+    fused_raymarch preconditions plus an appearance embedding and no
+    semantic head."""
     field_encoding: str = "hash"
     """'hash' = Instant-NGP grid (reference parity); 'freq' = frequency-encoded
     deep MLP base — the TPU-native compute-dense option (hash gathers lower to
@@ -265,8 +271,67 @@ class NerfactoField(nn.Module):
         rgb = self.mlp_head(h).reshape(*sample_shape, self.num_channels)
         return rgb.astype(jnp.float32)
 
+    def _fused_field_ok(self) -> bool:
+        return (
+            self.fused_field
+            and self.fused_raymarch
+            and self.field_encoding == "freq"
+            and self.use_spatial_distortion
+            and self.use_pallas
+            and self.appearance_embedding_dim > 0
+            and self.num_semantic_classes == 0
+            and self.mlp_base_net.will_fuse_rays()
+        )
+
+    def _fused_field_forward(self, ray_samples: RaySamples, train: bool) -> dict:
+        """Whole-field Pallas kernel (ops/pallas/fused_mlp.fused_field_mlp):
+        identical math to get_density_from_rays + get_outputs."""
+        from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_field_mlp
+
+        sample_shape = ray_samples.starts.shape[:-1]
+        num_samples = sample_shape[-1]
+        origins = ray_samples.origins.reshape(-1, 3).astype(jnp.float32)
+        dirs = ray_samples.directions.reshape(-1, 3).astype(jnp.float32)
+        mids = (
+            (ray_samples.starts + ray_samples.ends) * 0.5
+        ).reshape(-1, 1).astype(jnp.float32)
+        cam_idx = ray_samples.camera_indices[..., 0].reshape(-1)
+        if train:
+            emb = self.appearance_table[cam_idx]
+        elif self.use_average_appearance_embedding:
+            emb = jnp.broadcast_to(
+                jnp.mean(self.appearance_table, axis=0),
+                (cam_idx.shape[0], self.appearance_embedding_dim),
+            )
+        else:
+            emb = jnp.zeros((cam_idx.shape[0], self.appearance_embedding_dim))
+
+        mlp = self.mlp_base_net
+        base_ws, base_bs = mlp(None, export_params=mlp._enc_dim())
+        head_in = 16 + self.geo_feat_dim + self.appearance_embedding_dim
+        head_ws, head_bs = self.mlp_head(None, export_params=head_in)
+        out = fused_field_mlp(
+            origins, dirs, mids, emb.astype(jnp.float32),
+            base_ws, base_bs, head_ws, head_bs,
+            num_samples,
+            mlp.fused_block_size,
+            jax.default_backend() == "cpu",
+            tuple(sorted(set(mlp.skip_connections))),
+            mlp.freq_encoding,
+            jnp.dtype(self.compute_dtype).name,
+        )
+        c = self.num_channels
+        out = out.reshape(*sample_shape, c + 2)
+        rgb = out[..., :c].astype(jnp.float32)
+        raw = out[..., c : c + 1].astype(jnp.float32)
+        selector = out[..., c + 1 :].astype(jnp.float32)
+        density = self.average_init_density * trunc_exp(raw) * selector
+        return {FieldHeadNames.DENSITY: density, FieldHeadNames.RGB: rgb}
+
     def __call__(self, ray_samples: RaySamples, train: bool = True) -> dict:
         """Full field forward (reference base_field.py forward)."""
+        if self._fused_field_ok():
+            return self._fused_field_forward(ray_samples, train)
         density, geo_feat = self.get_density_from_rays(ray_samples)
         rgb = self.get_outputs(ray_samples, geo_feat, train=train)
         out = {FieldHeadNames.DENSITY: density, FieldHeadNames.RGB: rgb}

@@ -102,6 +102,9 @@ class NerfactoModelConfig(ModelConfig):
     BASE-field kernel (ops/pallas/fused_mlp.fused_ray_mlp): the field consumes
     (origins, dirs, midpoints) and per-sample position tensors never exist in
     HBM. Requires use_pallas + freq fields + scene contraction."""
+    fused_field: bool = False
+    """Run the WHOLE base field (ray-march + base MLP + SH + appearance +
+    color head) as one Pallas kernel. Implies/extends fused_raymarch."""
     fused_raymarch_proposals: bool = False
     """Same fusion for the PROPOSAL density fields. Separate knob: the
     64-wide proposal MLP runs ~2.5x slower under Pallas than XLA (narrow
@@ -167,6 +170,7 @@ class NerfactoModel(Model):
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
             fused_raymarch=cfg.fused_raymarch,
+            fused_field=cfg.fused_field,
             field_encoding=cfg.field_encoding,
             freq_num_frequencies=cfg.freq_num_frequencies,
             freq_num_layers=cfg.freq_num_layers,

@@ -124,6 +124,7 @@ class ThermalNerfactoModel(NerfactoModel):
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
             fused_raymarch=cfg.fused_raymarch,
+            fused_field=cfg.fused_field,
             field_encoding=cfg.field_encoding,
             freq_num_frequencies=cfg.freq_num_frequencies,
             freq_num_layers=cfg.freq_num_layers,
@@ -151,6 +152,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 compute_dtype=compute_dtype,
                 use_pallas=cfg.use_pallas,
                 fused_raymarch=cfg.fused_raymarch,
+                fused_field=cfg.fused_field,
                 field_encoding=cfg.field_encoding,
                 freq_num_frequencies=cfg.freq_num_frequencies,
                 freq_num_layers=cfg.freq_num_layers,

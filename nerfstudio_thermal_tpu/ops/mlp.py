@@ -118,7 +118,14 @@ class MLP(nn.Module):
         self,
         x: Optional[jax.Array],
         rays: Optional[Tuple[jax.Array, jax.Array, jax.Array, int]] = None,
+        export_params: Optional[int] = None,
     ) -> jax.Array:
+        if export_params is not None:
+            # Return this stack's (weights, biases) with the fused-path
+            # naming so a parent module can feed them into a combined kernel
+            # (fields/nerfacto_field.py fused_field path). The int is the
+            # input dim (the MLP normally infers it from x).
+            return self._fused_params(export_params)
         if rays is not None:
             # Fused ray-march: (origins [R,3], dirs [R,3], ts [R*S,1], S).
             # Position generation + inf-norm contraction + selector +

@@ -101,15 +101,10 @@ def _mlp_fwd_core(x0, w_refs, b_refs, num_layers, activation, out_activation, sk
     return h
 
 
-def _mlp_bwd_core(
-    x0, g, w_refs, b_refs, dw_refs, db_refs,
-    num_layers, activation, out_activation, skips,
-):
-    """Recompute forward from encoded block x0, accumulate dW/db into the
-    VMEM-resident output refs, and return d_x0 (f32, w.r.t. the encoded
-    input)."""
+def _mlp_fwd_save(x0, w_refs, b_refs, num_layers, activation, out_activation, skips):
+    """Forward pass that also returns the per-layer post-activations (compute
+    dtype) and the final pre-activation (f32) needed by the backward."""
     cdt = x0.dtype
-    in_dim = x0.shape[-1]
     h = x0
     post_acts = []  # activated output of each layer, compute dtype
     final_pre = None
@@ -126,6 +121,17 @@ def _mlp_bwd_core(
             final_pre = pre
             h = _apply_act(pre, out_activation).astype(cdt)
         post_acts.append(h)
+    return post_acts, final_pre
+
+
+def _mlp_bwd_from_saved(
+    x0, g, post_acts, final_pre, w_refs, b_refs, dw_refs, db_refs,
+    num_layers, activation, out_activation, skips,
+):
+    """Backward from saved activations: accumulate dW/db into the
+    VMEM-resident output refs, return d_x0 (f32)."""
+    cdt = x0.dtype
+    in_dim = x0.shape[-1]
 
     def layer_input(li):
         h_prev = x0 if li == 0 else post_acts[li - 1]
@@ -159,6 +165,22 @@ def _mlp_bwd_core(
         if li == 0:
             dx_accum = dx_accum + dh
     return dx_accum
+
+
+def _mlp_bwd_core(
+    x0, g, w_refs, b_refs, dw_refs, db_refs,
+    num_layers, activation, out_activation, skips,
+):
+    """Recompute forward from encoded block x0, accumulate dW/db into the
+    VMEM-resident output refs, and return d_x0 (f32, w.r.t. the encoded
+    input)."""
+    post_acts, final_pre = _mlp_fwd_save(
+        x0, w_refs, b_refs, num_layers, activation, out_activation, skips
+    )
+    return _mlp_bwd_from_saved(
+        x0, g, post_acts, final_pre, w_refs, b_refs, dw_refs, db_refs,
+        num_layers, activation, out_activation, skips,
+    )
 
 
 def _fwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, refs):
@@ -551,7 +573,10 @@ def _resolve_ray_blocks(block_size, num_samples, num_layers, width, dtype, bwd):
         per_point = num_layers * width * act_bytes + 8 * 1024
         import os
 
-        budget = int(os.environ.get("NS_FMLP_BWD_BUDGET_MB", "5")) * 1024 * 1024
+        # Larger default than the point-kernel's 5 MB: ray-mode backward
+        # grids are sequential ("arbitrary" for the dW accumulation), so
+        # small blocks at large S mean hundreds of tiny unpipelined steps.
+        budget = int(os.environ.get("NS_FRAY_BWD_BUDGET_MB", "32")) * 1024 * 1024
     else:
         per_point = width * 6 + 4 * 1024
         budget = 24 * 2**20
@@ -764,3 +789,392 @@ def _fused_ray_bwd(
 
 
 fused_ray_mlp.defvjp(_fused_ray_fwd, _fused_ray_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-field: ray-march + base MLP + SH + appearance + color head in
+# one kernel. On top of fused_ray_mlp this removes the geo-feature round-trip
+# ([N, 16] write + [N, 63] head-input concat read), the SH/direction and
+# appearance broadcasts, and the color-head XLA layers: per block, the base
+# output feeds the head directly in VMEM; only [N, C+2] (rgb, raw density,
+# selector) ever reaches HBM.
+# ---------------------------------------------------------------------------
+
+
+def _sh4_2d(d):
+    """Degree-4 real SH of unit directions, [r, 3] f32 -> [r, 16] f32.
+    Same constants as ops.encodings.sh_encoding (reference utils/math.py),
+    written 2-D (lane dim last) so it lowers in Mosaic; the backward is
+    obtained with jax.vjp at trace time (pure polynomials)."""
+    x, y, z = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    xx, yy, zz = x * x, y * y, z * z
+    comps = [
+        jnp.full_like(x, 0.28209479177387814),
+        0.4886025119029199 * y,
+        0.4886025119029199 * z,
+        0.4886025119029199 * x,
+        1.0925484305920792 * x * y,
+        1.0925484305920792 * y * z,
+        0.9461746957575601 * zz - 0.31539156525251999,
+        1.0925484305920792 * x * z,
+        0.5462742152960396 * (xx - yy),
+        0.5900435899266435 * y * (3 * xx - yy),
+        2.890611442640554 * x * y * z,
+        0.4570457994644658 * y * (5 * zz - 1),
+        0.3731763325901154 * z * (5 * zz - 3),
+        0.4570457994644658 * x * (5 * zz - 1),
+        1.445305721320277 * z * (xx - yy),
+        0.5900435899266435 * x * (xx - 3 * yy),
+    ]
+    return jnp.concatenate(comps, axis=1)
+
+
+def _field_fwd_block(
+    o, d, t, emb, base_w, base_b, head_w, head_b,
+    num_samples, skips, freq_encoding, cdt, save=False,
+):
+    """Shared forward math on one VMEM block. Returns (rgb, raw_density,
+    sel) plus, when save=True, everything the backward needs."""
+    nb, nh = len(base_w), len(head_w)
+    pos, d_rep, rep = _posgen_fwd(o, d, t, num_samples)
+    x, sel, mag, safe = _contract_fwd(pos)
+    enc, pre_enc = _encode(x, freq_encoding, 3)
+    x0 = enc.astype(cdt)
+    base_acts, base_pre = _mlp_fwd_save(
+        x0, base_w, base_b, nb, "relu", None, skips
+    )
+    h = base_acts[-1]  # [blk, 1 + geo]
+    sh = _sh4_2d(d)  # [blk_r, 16]
+    sh_rep = jnp.dot(rep, sh, preferred_element_type=jnp.float32).astype(cdt)
+    parts = [sh_rep, h[:, 1:]]
+    if emb is not None:
+        parts.append(
+            jnp.dot(rep, emb, preferred_element_type=jnp.float32).astype(cdt)
+        )
+    head_in = jnp.concatenate(parts, axis=1)
+    head_acts, head_pre = _mlp_fwd_save(
+        head_in, head_w, head_b, nh, "relu", "sigmoid", ()
+    )
+    rgb = head_acts[-1]
+    if not save:
+        return rgb, h[:, :1], sel
+    return (
+        rgb, h[:, :1], sel,
+        (pos, d_rep, rep, x, sel, mag, safe, pre_enc, x0,
+         base_acts, base_pre, sh, head_in, head_acts, head_pre),
+    )
+
+
+def _field_fwd_kernel(
+    nb, nh, skips, freq_encoding, num_samples, has_emb, refs
+):
+    i = 3 + (1 if has_emb else 0)
+    o_ref, d_ref, t_ref = refs[0], refs[1], refs[2]
+    emb_ref = refs[3] if has_emb else None
+    base_w = refs[i : i + nb]
+    base_b = refs[i + nb : i + 2 * nb]
+    head_w = refs[i + 2 * nb : i + 2 * nb + nh]
+    head_b = refs[i + 2 * nb + nh : i + 2 * nb + 2 * nh]
+    out_ref = refs[i + 2 * nb + 2 * nh]
+
+    cdt = base_w[0].dtype
+    rgb, raw, sel = _field_fwd_block(
+        o_ref[:].astype(jnp.float32), d_ref[:].astype(jnp.float32),
+        t_ref[:].astype(jnp.float32),
+        emb_ref[:].astype(jnp.float32) if has_emb else None,
+        base_w, base_b, head_w, head_b, num_samples, skips, freq_encoding, cdt,
+    )
+    out_ref[:] = jnp.concatenate(
+        [rgb.astype(out_ref.dtype), raw.astype(out_ref.dtype),
+         sel.astype(out_ref.dtype)], axis=-1,
+    )
+
+
+def _field_bwd_kernel(
+    nb, nh, skips, freq_encoding, num_samples, has_emb, num_channels, refs
+):
+    i = 4 + (1 if has_emb else 0)
+    o_ref, d_ref, t_ref = refs[0], refs[1], refs[2]
+    emb_ref = refs[3] if has_emb else None
+    g_ref = refs[i - 1]
+    base_w = refs[i : i + nb]
+    base_b = refs[i + nb : i + 2 * nb]
+    head_w = refs[i + 2 * nb : i + 2 * nb + nh]
+    head_b = refs[i + 2 * nb + nh : i + 2 * nb + 2 * nh]
+    outs = refs[i + 2 * nb + 2 * nh :]
+    do_ref, dd_ref, dt_ref = outs[0], outs[1], outs[2]
+    j = 3
+    if has_emb:
+        demb_ref = outs[3]
+        j = 4
+    dbase_w = outs[j : j + nb]
+    dbase_b = outs[j + nb : j + 2 * nb]
+    dhead_w = outs[j + 2 * nb : j + 2 * nb + nh]
+    dhead_b = outs[j + 2 * nb + nh : j + 2 * nb + 2 * nh]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for r in list(dbase_w) + list(dbase_b) + list(dhead_w) + list(dhead_b):
+            r[:] = jnp.zeros_like(r)
+
+    cdt = base_w[0].dtype
+    o = o_ref[:].astype(jnp.float32)
+    dirs = d_ref[:].astype(jnp.float32)
+    t = t_ref[:].astype(jnp.float32)
+    emb = emb_ref[:].astype(jnp.float32) if has_emb else None
+    # SH via jax.vjp at trace time: pure polynomials, lowers like the forward
+    sh, sh_vjp = jax.vjp(_sh4_2d, dirs)
+    _, _, _, saved = _field_fwd_block(
+        o, dirs, t, emb, base_w, base_b, head_w, head_b,
+        num_samples, skips, freq_encoding, cdt, save=True,
+    )
+    (pos, d_rep, rep, x, sel, mag, safe, pre_enc, x0,
+     base_acts, base_pre, _, head_in, head_acts, head_pre) = saved
+
+    g = g_ref[:]
+    g_rgb = g[:, :num_channels]
+    g_raw = g[:, num_channels : num_channels + 1].astype(jnp.float32)
+
+    d_headin = _mlp_bwd_from_saved(
+        head_in, g_rgb, head_acts, head_pre, head_w, head_b, dhead_w, dhead_b,
+        nh, "relu", "sigmoid", (),
+    )
+    d_sh_rep = d_headin[:, :16]
+    geo = base_w[-1].shape[-1] - 1
+    d_geo = d_headin[:, 16 : 16 + geo]
+    g_base = jnp.concatenate([g_raw, d_geo], axis=1).astype(cdt)
+    d_enc = _mlp_bwd_from_saved(
+        x0, g_base, base_acts, base_pre, base_w, base_b, dbase_w, dbase_b,
+        nb, "relu", None, skips,
+    )
+    dx = _encode_bwd(x, pre_enc, d_enc, freq_encoding, 3)
+    d_pos = _contract_bwd(dx, pos, sel, mag, safe)
+    do_ref[:] = jax.lax.dot_general(
+        rep, d_pos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # d(dirs): posgen transpose + SH chain
+    d_dirs = jax.lax.dot_general(
+        rep, d_pos * t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_sh = jax.lax.dot_general(
+        rep, d_sh_rep.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dd_ref[:] = d_dirs + sh_vjp(d_sh)[0]
+    dt_ref[:] = jnp.sum(d_pos * d_rep, axis=-1, keepdims=True)
+    if has_emb:
+        demb_ref[:] = jax.lax.dot_general(
+            rep, d_headin[:, 16 + geo :].astype(jnp.float32),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def fused_field_mlp(
+    origins: jax.Array,  # [R, 3] f32
+    dirs: jax.Array,  # [R, 3] f32 unit directions
+    ts: jax.Array,  # [R * S, 1] f32 sample midpoints
+    emb: jax.Array,  # [R, E] f32 per-ray appearance embeddings
+    base_weights: Tuple[jax.Array, ...],
+    base_biases: Tuple[jax.Array, ...],
+    head_weights: Tuple[jax.Array, ...],
+    head_biases: Tuple[jax.Array, ...],
+    num_samples: int,
+    block_size: int = 2048,
+    interpret: bool = False,
+    skip_connections: Tuple[int, ...] = (),
+    freq_encoding: Tuple[int, float, float, bool] = (10, 0.0, 9.0, True),
+    compute_dtype: Optional[str] = None,
+) -> jax.Array:
+    """Whole NerfactoField forward in one kernel. Returns [R * S, C + 2]:
+    C sigmoid color channels, the raw (pre-trunc_exp) density, and the
+    in-scene selector. Head input layout matches the field: [SH4(dir),
+    geo_feat, emb]."""
+    return _fused_field_fwd_impl(
+        origins, dirs, ts, emb, base_weights, base_biases, head_weights,
+        head_biases, num_samples, block_size, interpret, skip_connections,
+        freq_encoding, compute_dtype,
+    )
+
+
+def _field_cast(ws, bs, dtype):
+    return [w.astype(dtype) for w in ws], [b.reshape(1, -1).astype(dtype) for b in bs]
+
+
+def _fused_field_fwd_impl(
+    origins, dirs, ts, emb, base_weights, base_biases, head_weights,
+    head_biases, num_samples, block_size, interpret, skips, freq_encoding,
+    compute_dtype,
+):
+    nb, nh = len(base_weights), len(head_weights)
+    num_channels = head_weights[-1].shape[-1]
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
+    width = max(w.shape[-1] for w in base_weights)
+    blk, blk_r = _resolve_ray_blocks(
+        block_size, num_samples, nb, width, dtype, bwd=False
+    )
+    op, dp, tp, r = _pad_rays(origins, dirs, ts, num_samples, blk_r)
+    ep = jnp.concatenate(
+        [emb, jnp.zeros((op.shape[0] - emb.shape[0], emb.shape[1]), emb.dtype)],
+        axis=0,
+    ) if op.shape[0] != emb.shape[0] else emb
+    grid = op.shape[0] // blk_r
+
+    bw, bb = _field_cast(base_weights, base_biases, dtype)
+    hw, hb = _field_cast(head_weights, head_biases, dtype)
+
+    kernel = functools.partial(
+        lambda *refs: _field_fwd_kernel(
+            nb, nh, tuple(skips), freq_encoding, num_samples, True, refs
+        )
+    )
+    in_specs = [
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, ep.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in bw + bb + hw + hb:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (blk, num_channels + 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (op.shape[0] * num_samples, num_channels + 2), dtype
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("parallel",),
+        ),
+    )(op, dp, tp, ep, *bw, *bb, *hw, *hb)
+    return out[: r * num_samples]
+
+
+def _fused_field_fwd(
+    origins, dirs, ts, emb, base_weights, base_biases, head_weights,
+    head_biases, num_samples, block_size, interpret, skip_connections,
+    freq_encoding, compute_dtype,
+):
+    out = _fused_field_fwd_impl(
+        origins, dirs, ts, emb, base_weights, base_biases, head_weights,
+        head_biases, num_samples, block_size, interpret, skip_connections,
+        freq_encoding, compute_dtype,
+    )
+    return out, (
+        origins, dirs, ts, emb, base_weights, base_biases, head_weights,
+        head_biases,
+    )
+
+
+def _fused_field_bwd(
+    num_samples, block_size, interpret, skip_connections, freq_encoding,
+    compute_dtype, res, g,
+):
+    (origins, dirs, ts, emb, base_weights, base_biases, head_weights,
+     head_biases) = res
+    nb, nh = len(base_weights), len(head_weights)
+    num_channels = head_weights[-1].shape[-1]
+    dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else jnp.float32
+    width = max(w.shape[-1] for w in base_weights)
+    blk, blk_r = _resolve_ray_blocks(
+        block_size, num_samples, nb, width, dtype, bwd=True
+    )
+    op, dp, tp, r = _pad_rays(origins, dirs, ts, num_samples, blk_r)
+    ep = jnp.concatenate(
+        [emb, jnp.zeros((op.shape[0] - emb.shape[0], emb.shape[1]), emb.dtype)],
+        axis=0,
+    ) if op.shape[0] != emb.shape[0] else emb
+    gp, _ = _pad_batch(g.astype(dtype), blk)
+    grid = op.shape[0] // blk_r
+
+    bw, bb = _field_cast(base_weights, base_biases, dtype)
+    hw, hb = _field_cast(head_weights, head_biases, dtype)
+
+    kernel = functools.partial(
+        lambda *refs: _field_bwd_kernel(
+            nb, nh, tuple(skip_connections), freq_encoding, num_samples, True,
+            num_channels, refs,
+        )
+    )
+    in_specs = [
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, ep.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, num_channels + 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in bw + bb + hw + hb:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((op.shape[0], 3), jnp.float32),
+        jax.ShapeDtypeStruct((op.shape[0], 3), jnp.float32),
+        jax.ShapeDtypeStruct((op.shape[0] * num_samples, 1), jnp.float32),
+        jax.ShapeDtypeStruct((op.shape[0], ep.shape[1]), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk_r, ep.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in base_weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in base_biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[-1]), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, b.shape[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+    for w in head_weights:
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
+    for b in head_biases:
+        out_shapes.append(jax.ShapeDtypeStruct((1, b.shape[-1]), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, b.shape[-1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+            dimension_semantics=("arbitrary",),
+        ),
+    )(op, dp, tp, ep, gp, *bw, *bb, *hw, *hb)
+
+    d_o = outs[0][:r].astype(origins.dtype)
+    d_d = outs[1][:r].astype(dirs.dtype)
+    d_t = outs[2][: r * num_samples].astype(ts.dtype)
+    d_e = outs[3][: emb.shape[0]].astype(emb.dtype)
+    k = 4
+    dbw = tuple(dw.astype(w.dtype) for dw, w in zip(outs[k : k + nb], base_weights))
+    dbb = tuple(
+        db.reshape(b.shape).astype(b.dtype)
+        for db, b in zip(outs[k + nb : k + 2 * nb], base_biases)
+    )
+    dhw = tuple(
+        dw.astype(w.dtype)
+        for dw, w in zip(outs[k + 2 * nb : k + 2 * nb + nh], head_weights)
+    )
+    dhb = tuple(
+        db.reshape(b.shape).astype(b.dtype)
+        for db, b in zip(outs[k + 2 * nb + nh :], head_biases)
+    )
+    return d_o, d_d, d_t, d_e, dbw, dbb, dhw, dhb
+
+
+fused_field_mlp.defvjp(_fused_field_fwd, _fused_field_bwd)

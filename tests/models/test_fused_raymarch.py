@@ -132,3 +132,66 @@ def test_proposal_field_fused_raymarch_matches_positions_path():
     g2 = jax.grad(loss_r)(params_r)["mlp"]
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
+def test_base_field_fused_field_matches_unfused_forward():
+    """Whole-field kernel (fused_field=True) vs the two-stage path, full
+    forward incl. color head, density and param/ray grads."""
+    rs = _random_ray_samples(jax.random.PRNGKey(4), num_rays=5, num_samples=6)
+
+    def build(fused_field):
+        return NerfactoField(
+            aabb=((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+            num_images=2,
+            appearance_embedding_dim=8,
+            hidden_dim_color=16,
+            num_layers_color=2,
+            field_encoding="freq",
+            freq_num_frequencies=4,
+            freq_num_layers=4,
+            freq_hidden_dim=128,
+            use_pallas=True,
+            fused_raymarch=True,
+            fused_field=fused_field,
+        )
+
+    field_f, field_r = build(True), build(False)
+    params_f = field_f.init(jax.random.PRNGKey(5), rs, train=True)["params"]
+    # head params: fused naming (Dense_i_kernel) -> nn.Dense naming
+    params_r = dict(params_f)
+    params_r["mlp_head"] = _remap_dense_params(params_f["mlp_head"])
+
+    o1 = field_f.apply({"params": params_f}, rs, train=True)
+    o2 = field_r.apply({"params": params_r}, rs, train=True)
+    from nerfstudio_thermal_tpu.fields.base_field import FieldHeadNames
+
+    np.testing.assert_allclose(
+        np.asarray(o1[FieldHeadNames.RGB]), np.asarray(o2[FieldHeadNames.RGB]),
+        rtol=3e-4, atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o1[FieldHeadNames.DENSITY]),
+        np.asarray(o2[FieldHeadNames.DENSITY]), rtol=3e-4, atol=3e-5,
+    )
+
+    def loss(field, params, origins, dirs):
+        rs2 = rs.replace(origins=origins, directions=dirs)
+        o = field.apply({"params": params}, rs2, train=True)
+        return (
+            jnp.sum(o[FieldHeadNames.RGB] ** 2)
+            + jnp.sum(jnp.tanh(o[FieldHeadNames.DENSITY]))
+        )
+
+    g1 = jax.grad(lambda p, o, d: loss(field_f, p, o, d), argnums=(0, 1, 2))(
+        params_f, rs.origins, rs.directions
+    )
+    g2 = jax.grad(lambda p, o, d: loss(field_r, p, o, d), argnums=(0, 1, 2))(
+        params_r, rs.origins, rs.directions
+    )
+    g1p = dict(g1[0]); g1p["mlp_head"] = _remap_dense_params(g1p["mlp_head"])
+    for a, b in zip(
+        jax.tree.leaves((g1p, *g1[1:])), jax.tree.leaves((dict(g2[0]), *g2[1:]))
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5
+        )

@@ -230,3 +230,95 @@ def test_fused_ray_mlp_no_input_grads():
         assert float(jnp.sum(jnp.abs(a))) == 0.0
     for a, b in zip(jax.tree.leaves(g_full[3:]), jax.tree.leaves(g_skip[3:])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused_field_mlp: base MLP + SH + appearance + color head in one kernel
+# ---------------------------------------------------------------------------
+
+from nerfstudio_thermal_tpu.ops.pallas.fused_mlp import fused_field_mlp  # noqa: E402
+from nerfstudio_thermal_tpu.ops.encodings import sh_encoding  # noqa: E402
+
+
+def _field_reference(origins, dirs, ts, emb, bws, bbs, hws, hbs, S, nf, skips):
+    """XLA composition: ray reference (base MLP, no out act) + SH + head."""
+    h, sel = _ray_reference(origins, dirs, ts, bws, bbs, S, nf, skips)
+    raw, geo = h[:, :1], h[:, 1:]
+    sh = sh_encoding(dirs, levels=4)  # [R, 16]
+    sh_rep = jnp.repeat(sh, S, axis=0)
+    emb_rep = jnp.repeat(emb, S, axis=0)
+    x = jnp.concatenate([sh_rep, geo, emb_rep], axis=-1)
+    for i, (w, b) in enumerate(zip(hws, hbs)):
+        x = x @ w + b
+        if i < len(hws) - 1:
+            x = jnp.maximum(x, 0.0)
+    rgb = jax.nn.sigmoid(x)
+    return rgb, raw, sel
+
+
+def _field_setup(key, R, S, nf, geo, width, layers, emb_dim, C, skips):
+    enc = 3 * nf * 2 + 3
+    origins, dirs, ts = _make_rays(key, R, S)
+    emb = jax.random.normal(jax.random.fold_in(key, 9), (R, emb_dim)) * 0.3
+    bdims = [width] * (layers - 1) + [1 + geo]
+    bws, bbs = [], []
+    prev = enc
+    for i, w in enumerate(bdims):
+        din = prev + (enc if i in skips and i != 0 else 0)
+        k = jax.random.fold_in(key, 100 + i)
+        bws.append(jax.random.normal(k, (din, w)) * 0.25)
+        bbs.append(jax.random.normal(jax.random.fold_in(k, 1), (w,)) * 0.05)
+        prev = w
+    hdims = [width, C]
+    hws, hbs = [], []
+    prev = 16 + geo + emb_dim
+    for i, w in enumerate(hdims):
+        k = jax.random.fold_in(key, 200 + i)
+        hws.append(jax.random.normal(k, (prev, w)) * 0.25)
+        hbs.append(jax.random.normal(jax.random.fold_in(k, 1), (w,)) * 0.05)
+        prev = w
+    return origins, dirs, ts, emb, tuple(bws), tuple(bbs), tuple(hws), tuple(hbs)
+
+
+def test_fused_field_mlp_matches_composition():
+    nf, S, C = 3, 4, 3
+    skips = (1,)
+    args = _field_setup(jax.random.PRNGKey(11), 9, S, nf, 7, 16, 3, 5, C, skips)
+    origins, dirs, ts, emb, bws, bbs, hws, hbs = args
+    fe = (nf, 0.0, nf - 1.0, True)
+
+    out = fused_field_mlp(
+        origins, dirs, ts, emb, bws, bbs, hws, hbs, S, 4 * S, True, skips, fe
+    )
+    rgb, raw, sel = _field_reference(
+        origins, dirs, ts, emb, bws, bbs, hws, hbs, S, nf, skips
+    )
+    np.testing.assert_allclose(np.asarray(out[:, :C]), np.asarray(rgb), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out[:, C : C + 1]), np.asarray(raw), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out[:, C + 1 :]), np.asarray(sel), rtol=0, atol=0)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(12), (9 * S, C))
+
+    def loss_fused(origins, dirs, ts, emb, bws, bbs, hws, hbs):
+        o = fused_field_mlp(
+            origins, dirs, ts, emb, bws, bbs, hws, hbs, S, 4 * S, True, skips, fe
+        )
+        return (
+            jnp.mean((o[:, :C] - tgt) ** 2)
+            + jnp.sum(jnp.tanh(o[:, C : C + 1])) * 0.01
+        )
+
+    def loss_ref(origins, dirs, ts, emb, bws, bbs, hws, hbs):
+        rgb, raw, _ = _field_reference(
+            origins, dirs, ts, emb, bws, bbs, hws, hbs, S, nf, skips
+        )
+        return jnp.mean((rgb - tgt) ** 2) + jnp.sum(jnp.tanh(raw)) * 0.01
+
+    v1 = loss_fused(*args)
+    v2 = loss_ref(*args)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+    an = tuple(range(8))
+    g1 = jax.grad(loss_fused, argnums=an)(*args)
+    g2 = jax.grad(loss_ref, argnums=an)(*args)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=2e-5)
