@@ -24,7 +24,7 @@ import numpy as np
 A100_BASELINE_RAYS_PER_SEC = 200_000.0
 
 
-def build_setup(method_name: str):
+def build_setup(method_name: str, overrides=None):
     import jax
     import jax.numpy as jnp
 
@@ -50,6 +50,8 @@ def build_setup(method_name: str):
         cfg.num_nerf_samples_per_ray = 48
         if hasattr(cfg, "density_loss_rays_fraction"):
             cfg.density_loss_rays_fraction = 1.0
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     is_thermal = [i % 2 for i in range(num_cameras)]
     model = ThermalNerfactoModel(
@@ -117,10 +119,13 @@ def build_setup(method_name: str):
     return train_step, params, opt_state, make_batch, num_rays
 
 
-def run(method_name: str, metric: str, n_steps: int) -> None:
+def _measure(method_name: str, n_steps: int, overrides=None) -> float:
+    """Build + time one config; returns train rays/s."""
     import jax
 
-    train_step, params, opt_state, make_batch, num_rays = build_setup(method_name)
+    train_step, params, opt_state, make_batch, num_rays = build_setup(
+        method_name, overrides
+    )
     key = jax.random.PRNGKey(1)
     batches = [make_batch(i) for i in range(8)]
 
@@ -137,8 +142,10 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
         params, opt_state, loss = train_step(params, opt_state, sub, batches[i % 8])
     float(loss)
     dt = time.perf_counter() - t0
+    return num_rays * n_steps / dt
 
-    rays_per_sec = num_rays * n_steps / dt
+
+def _emit(metric, rays_per_sec, method_name, note=""):
     print(
         json.dumps(
             {
@@ -147,13 +154,69 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
                 "config": method_name,
-                "note": (
-                    "r2: 40.4k (r2-start, r1 code on this ~1.7x-slower terminal) -> 176k via pallas-on(base)/lean-schedule/25%-cross-density/no-proposal-camera-grads"
-                    if metric == "train_rays_per_sec" else ""
-                ),
+                "note": note,
             }
         ),
         flush=True,
+    )
+
+
+def run(method_name: str, metric: str, n_steps: int) -> None:
+    rays_per_sec = _measure(method_name, n_steps)
+    _emit(
+        metric, rays_per_sec, method_name,
+        note=(
+            "r2: 40.4k (r2-start, r1 code on this ~1.7x-slower terminal) -> 176k via pallas-on(base)/lean-schedule/25%-cross-density/no-proposal-camera-grads"
+            if metric == "train_rays_per_sec" else ""
+        ),
+    )
+
+
+# Flagship fused-ray-march candidates. The kernels (ops/pallas/fused_mlp.py:
+# fused_ray_mlp / fused_field_mlp) are equivalence-tested but each knob's
+# end-to-end win on a live v5e depends on how the custom-calls interact with
+# XLA's surrounding fusions (the isolated color-head fusion famously won
+# alone and lost in-step, CLAUDE.md). The bench therefore measures each
+# candidate fail-soft and ships the fastest as the flagship line.
+_FLAGSHIP_CANDIDATES = [
+    ("default", {}),
+    ("fray-base", {"fused_raymarch": True}),
+    ("fray-field", {"fused_raymarch": True, "fused_field": True}),
+    # flagship sets proposal_camera_gradients=False, so fused proposals run
+    # without the input-grad chain (need_input_grads=False)
+    ("fray-props", {"fused_raymarch": True, "fused_raymarch_proposals": True}),
+]
+
+
+def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
+    """Measure each fused-kernel candidate (watchdog-bounded, fail-soft) and
+    emit the winner as the flagship line."""
+    import signal
+
+    results = {}
+    for name, overrides in _FLAGSHIP_CANDIDATES:
+        def _timeout(signum, frame):
+            raise TimeoutError(f"candidate {name} exceeded watchdog")
+
+        old = signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(420)
+        try:
+            results[name] = _measure(method_name, n_steps, overrides)
+        except Exception as e:  # noqa: BLE001 — candidate must not kill bench
+            print(f"# candidate {name} failed: {type(e).__name__}: {e}", flush=True)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+        if name == "default" and "default" not in results:
+            break  # baseline itself broken; let the caller's fail path handle it
+    if not results:
+        raise RuntimeError("no flagship candidate completed")
+    winner = max(results, key=results.get)
+    cand_note = " ".join(f"{k}={v/1e3:.1f}k" for k, v in results.items())
+    _emit(
+        metric, results[winner], method_name,
+        note=f"autotuned fused-raymarch winner={winner} [{cand_note}]; "
+        "r2 176k -> r3 MXU one-hot gathers/tril-cumsum + fused-ray-march autotune",
     )
 
 
@@ -238,7 +301,11 @@ def main():
             fail_soft()
         except Exception:
             traceback.print_exc()
-    run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
+    try:
+        run_flagship_autotuned("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
+    except Exception:
+        traceback.print_exc()
+        run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 
 if __name__ == "__main__":
