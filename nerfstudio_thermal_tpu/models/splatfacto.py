@@ -73,6 +73,17 @@ class SplatfactoModelConfig(ModelConfig):
     """Fixed gaussian capacity (TPU static shapes; dead slots are masked)."""
     rasterize_chunk: int = 256
     """Gaussians composited per scan step (memory = H*W*chunk floats)."""
+    rasterizer: str = "scan"  # scan | tiles
+    """"scan": every gaussian against every pixel (O(H*W*N), simple, the
+    baseline). "tiles": tile-binned fixed-capacity lists + MXU log-space
+    compositing (ops/splat_tiles.py, O(H*W*K)) — the gsplat-rasterizer
+    analogue; equivalence-tested against scan."""
+    tile_capacity: int = 512
+    """Max gaussians composited per 16x16 tile (tiles mode); over-full
+    tiles drop the farthest."""
+    tile_window: int = 4
+    """Candidate-tile window per gaussian (tiles mode): covers up to a
+    (window*16)^2 px footprint."""
     enable_collider: bool = False
 
 
@@ -419,10 +430,19 @@ class SplatfactoModel(Model):
         else:
             background = jnp.zeros((3,))
 
-        rgb, accum, depth = rasterize(
-            xys, depths, conics, radii, opac, colors, alive, H, W,
-            background, chunk=cfg.rasterize_chunk,
-        )
+        if cfg.rasterizer == "tiles":
+            from nerfstudio_thermal_tpu.ops.splat_tiles import rasterize_tiles
+
+            rgb, accum, depth = rasterize_tiles(
+                xys, depths, conics, radii, opac, colors, alive, H, W,
+                background, capacity=cfg.tile_capacity,
+                window=cfg.tile_window,
+            )
+        else:
+            rgb, accum, depth = rasterize(
+                xys, depths, conics, radii, opac, colors, alive, H, W,
+                background, chunk=cfg.rasterize_chunk,
+            )
         return {
             "rgb": jnp.clip(rgb, 0.0, 1.0),
             "accumulation": accum,

@@ -227,3 +227,44 @@ def test_splatfacto_render_cli(tmp_path):
     assert rc == 0
     imgs = list((tmp_path / "out").glob("**/*.png"))
     assert imgs, "no rendered frames"
+
+
+def test_model_tile_rasterizer_matches_scan():
+    """End-to-end render_camera parity: config.rasterizer="tiles" must
+    reproduce the scan rasterizer (white background for determinism)."""
+    from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
+
+    outs = {}
+    for mode in ("scan", "tiles"):
+        cfg = SplatfactoModelConfig(
+            max_num_gaussians=96, num_random=96, random_init=True,
+            random_scale=1.0, rasterize_chunk=32, sh_degree=1,
+            background_color="white", rasterizer=mode,
+            tile_capacity=96, tile_window=4,
+        )
+        aabb = np.array([[-1, -1, -1], [1, 1, 1]], np.float32)
+        model = SplatfactoModel(cfg, aabb, num_train_data=2)
+        params = model.init_params(jax.random.PRNGKey(0))
+        extra = model.init_extra_state()
+        c2w = np.eye(4, dtype=np.float32)[:3][None]
+        c2w[0, 2, 3] = 3.0
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(c2w),
+            fx=jnp.full((1,), 40.0), fy=jnp.full((1,), 40.0),
+            cx=jnp.full((1,), 24.0), cy=jnp.full((1,), 20.0),
+            width=jnp.full((1,), 48, jnp.int32),
+            height=jnp.full((1,), 40, jnp.int32),
+            distortion_params=jnp.zeros((1, 6)),
+            camera_type=jnp.full((1,), CameraType.PERSPECTIVE.value, jnp.int32),
+        )
+        outs[mode] = model.render_camera(
+            params, cams, 0, alive=extra["alive"], train=False,
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["tiles"]["rgb"]), np.asarray(outs["scan"]["rgb"]),
+        atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["tiles"]["accumulation"]),
+        np.asarray(outs["scan"]["accumulation"]), atol=3e-5,
+    )
