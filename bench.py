@@ -28,6 +28,10 @@ def build_setup(method_name: str, overrides=None):
     import jax
     import jax.numpy as jnp
 
+    from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
+
+    ensure_exact_f32_matmuls()
+
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
     from nerfstudio_thermal_tpu.configs.method_configs import get_method_config
     from nerfstudio_thermal_tpu.engine.optimizers import build_optimizer
@@ -189,26 +193,31 @@ _FLAGSHIP_CANDIDATES = [
 
 
 def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
-    """Measure each fused-kernel candidate (watchdog-bounded, fail-soft) and
-    emit the winner as the flagship line."""
-    import signal
+    """Measure each fused-kernel candidate in its own subprocess (a hard
+    timeout kills a candidate wedged inside a C-level TPU sync, which an
+    in-process SIGALRM cannot interrupt) and emit the winner as the
+    flagship line."""
+    import subprocess
+    import sys
 
     results = {}
-    for name, overrides in _FLAGSHIP_CANDIDATES:
-        def _timeout(signum, frame):
-            raise TimeoutError(f"candidate {name} exceeded watchdog")
-
-        old = signal.signal(signal.SIGALRM, _timeout)
-        signal.alarm(420)
+    for name, _ in _FLAGSHIP_CANDIDATES:
         try:
-            results[name] = _measure(method_name, n_steps, overrides)
+            proc = subprocess.run(
+                [
+                    sys.executable, __file__, "--candidate", name,
+                    "--method", method_name, "--steps", str(n_steps),
+                ],
+                capture_output=True, text=True, timeout=420,
+            )
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ][-1]
+            results[name] = json.loads(line)["value"]
         except Exception as e:  # noqa: BLE001 — candidate must not kill bench
             print(f"# candidate {name} failed: {type(e).__name__}: {e}", flush=True)
-        finally:
-            signal.alarm(0)
-            signal.signal(signal.SIGALRM, old)
         if name == "default" and "default" not in results:
-            break  # baseline itself broken; let the caller's fail path handle it
+            break  # baseline candidate dead — device presumed unusable
     if not results:
         raise RuntimeError("no flagship candidate completed")
     winner = max(results, key=results.get)
@@ -271,6 +280,17 @@ def run_eval_1080p(method_name: str) -> None:
     )
 
 
+def _candidate_main(argv):
+    """Child-process entry for run_flagship_autotuned: measure one
+    candidate, print one JSON line."""
+    name = argv[argv.index("--candidate") + 1]
+    method = argv[argv.index("--method") + 1]
+    n_steps = int(argv[argv.index("--steps") + 1])
+    overrides = dict(_FLAGSHIP_CANDIDATES)[name]
+    value = _measure(method, n_steps, overrides)
+    print(json.dumps({"candidate": name, "value": round(value, 1)}), flush=True)
+
+
 def main():
     import os
     import traceback
@@ -309,4 +329,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--candidate" in sys.argv:
+        _candidate_main(sys.argv)
+    else:
+        main()

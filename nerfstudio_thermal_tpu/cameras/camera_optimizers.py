@@ -18,6 +18,7 @@ from typing import Optional, Tuple, Type
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nerfstudio_thermal_tpu.cameras.lie_groups import exp_map_SE3, exp_map_SO3xR3
 from nerfstudio_thermal_tpu.cameras.rays import RayBundle
@@ -79,14 +80,21 @@ class CameraOptimizer(nn.Module):
             mask = mask.at[jnp.asarray(self.non_trainable_camera_indices)].set(True)
             eye_cam = jnp.broadcast_to(jnp.eye(4)[:3, :4], mats.shape)
             mats = jnp.where(mask[:, None, None], eye_cam, mats)
-        if self.num_cameras <= 4096:
+        if self.num_cameras * int(np.prod(indices.shape)) <= 32 * 2**20:
             # one-hot matmul instead of mats[indices]: the gather's VJP is an
             # XLA scatter-add (~0.35 ms/step each on v5e); as a matmul both
-            # directions ride the MXU.
+            # directions ride the MXU. Gated on the [rays, cameras] one-hot
+            # staying <= 128 MB f32; beyond that the scatter-add is cheaper
+            # than the O(R*C) memory. HIGHEST precision: DEFAULT rounds the
+            # f32 pose matrices to bf16 on TPU.
             onehot = (
                 indices[..., None] == jnp.arange(self.num_cameras)
             ).astype(mats.dtype)
-            per_ray = onehot @ mats.reshape(self.num_cameras, 12)
+            per_ray = jnp.matmul(
+                onehot,
+                mats.reshape(self.num_cameras, 12),
+                precision=jax.lax.Precision.HIGHEST,
+            )
             return per_ray.reshape(*indices.shape, 3, 4)
         return mats[indices]
 

@@ -303,13 +303,21 @@ class PrefetchingDataManager(VanillaDataManager):
         self._queue: "queue.Queue[Dict[str, np.ndarray]]" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._prefetch_step = 0
+        self._gen = 0  # realignment generation; guarded by _step_lock
+        self._step_lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def set_start_step(self, step: int):
         """Realign the prefetch stream after a checkpoint load: drop queued
-        batches and restart the stateless (seed, step) sequence at `step`."""
-        self._prefetch_step = int(step)
+        batches and restart the stateless (seed, step) sequence at `step`.
+        The generation bump makes any batch the worker is sampling *right
+        now* (claimed under the old generation) droppable on dequeue — the
+        worker cannot clobber the realigned step because it claims
+        `_prefetch_step` under the lock before sampling."""
+        with self._step_lock:
+            self._gen += 1
+            self._prefetch_step = int(step)
         while True:
             try:
                 self._queue.get_nowait()
@@ -319,29 +327,35 @@ class PrefetchingDataManager(VanillaDataManager):
     def _worker(self):
         while not self._stop.is_set():
             n = self.num_rays_override or self.config.train_num_rays_per_batch
-            s = self._prefetch_step
+            with self._step_lock:
+                s = self._prefetch_step
+                gen = self._gen
+                self._prefetch_step = s + 1
             if self._native is not None:
                 batch = self._native.sample(n, step=s)
             else:
                 batch = self.train_pixel_sampler.sample(n, step=s)
-            self._prefetch_step = s + 1
             while not self._stop.is_set():
                 try:
-                    self._queue.put((s, batch), timeout=0.5)
+                    self._queue.put((gen, s, batch), timeout=0.5)
                     break
                 except queue.Full:
                     continue
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
-        # Batches are tagged with the step they were drawn for; drop any
-        # stale ones left from before a set_start_step() realignment.
+        # Batches are tagged with (generation, step); drop anything from a
+        # previous generation or drawn for an earlier step.
         while True:
-            tag, batch = self._queue.get()
+            gen, tag, batch = self._queue.get()
+            with self._step_lock:
+                cur_gen = self._gen
+            if gen != cur_gen or tag < step:
+                continue
             if tag == step:
                 return batch
-            if tag > step:
-                # prefetch ran ahead of an unexpected rewind — sample inline
-                return super().next_train(step)
+            # prefetch ran ahead of an unexpected rewind — sample inline
+            # (the stateless (seed, step) sampler makes this thread-safe)
+            return super().next_train(step)
 
     def close(self):
         self._stop.set()

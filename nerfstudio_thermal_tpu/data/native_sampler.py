@@ -93,8 +93,10 @@ class NativeBatchSampler:
     def sample(self, num_rays: int, step: "int | None" = None) -> Dict[str, np.ndarray]:
         # Per-call seeding makes the draw a pure function of (seed, step);
         # pinning `step` gives resume-equivalence after checkpoint load.
-        if step is not None:
-            self._step = int(step)
+        # `eff_step` stays local: the prefetch worker and an inline
+        # next_train may call concurrently (datamanagers.py), so the seed
+        # must not read shared state another thread can move.
+        eff_step = int(step) if step is not None else self._step
         unit = self.patch * self.patch
         num_rays = (num_rays // unit) * unit
         ray_indices = np.empty((num_rays, 3), np.int32)
@@ -107,7 +109,7 @@ class NativeBatchSampler:
             self.channels,
             self._thermal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             len(self._images),
-            ctypes.c_uint64(self.seed + self._step * 1000003),
+            ctypes.c_uint64(self.seed + eff_step * 1000003),
             num_rays,
             self.patch,
             self.num_threads,
@@ -117,7 +119,7 @@ class NativeBatchSampler:
         )
         if rc != 0:
             raise RuntimeError(f"native sample_batch failed rc={rc}")
-        self._step += 1
+        self._step = eff_step + 1
         return {
             "ray_indices": ray_indices,
             "image": image_out,

@@ -38,19 +38,20 @@ class PixelSampler:
         p = config.patch_size
         self.num_rays_per_batch = (config.num_rays_per_batch // (p * p)) * (p * p)
 
-    def _sample_in_image(self, idx: int, num_rays: int):
+    def _sample_in_image(self, idx: int, num_rays: int, rng=None):
         """Returns [num_rays, 2] integer (y, x) for one image."""
+        rng = self.rng if rng is None else rng
         img = self.dataset.get_image(idx)
         h, w = img.shape[:2]
         p = self.config.patch_size
         if p <= 1:
-            ys = self.rng.integers(0, h, num_rays)
-            xs = self.rng.integers(0, w, num_rays)
+            ys = rng.integers(0, h, num_rays)
+            xs = rng.integers(0, w, num_rays)
             return np.stack([ys, xs], -1)
         n_patches = num_rays // (p * p)
         # patch top-left uniform in [0, dim - p) (reference :421-434)
-        ys0 = self.rng.uniform(0, h - p, n_patches).astype(np.int64)
-        xs0 = self.rng.uniform(0, w - p, n_patches).astype(np.int64)
+        ys0 = rng.uniform(0, h - p, n_patches).astype(np.int64)
+        xs0 = rng.uniform(0, w - p, n_patches).astype(np.int64)
         dy, dx = np.meshgrid(np.arange(p), np.arange(p), indexing="ij")
         ys = (ys0[:, None, None] + dy).reshape(-1)
         xs = (xs0[:, None, None] + dx).reshape(-1)
@@ -64,9 +65,14 @@ class PixelSampler:
         When `step` is given the draw is a pure function of (seed, step) —
         stateless RNG, so a resumed run reproduces the exact batch sequence
         of an uninterrupted one (resume-equivalence; reference restores full
-        training state at engine/trainer.py:389-453)."""
-        if step is not None:
-            self.rng = np.random.default_rng((self.seed, step))
+        training state at engine/trainer.py:389-453). The step-keyed path
+        uses a LOCAL generator: the prefetch worker and an inline
+        next_train may sample concurrently (datamanagers.py), so the draw
+        must not touch shared state."""
+        rng = (
+            np.random.default_rng((self.seed, step))
+            if step is not None else self.rng
+        )
         num_rays = num_rays or self.num_rays_per_batch
         n_images = len(self.dataset)
         p = self.config.patch_size
@@ -75,7 +81,7 @@ class PixelSampler:
 
         cams, coords = [], []
         total = 0
-        order = self.rng.permutation(n_images)
+        order = rng.permutation(n_images)
         for j, idx in enumerate(order):
             want = min(per_image, num_rays - total)
             if j == len(order) - 1:
@@ -83,7 +89,7 @@ class PixelSampler:
             want = (want // unit) * unit
             if want <= 0:
                 continue
-            yx = self._sample_in_image(int(idx), want)
+            yx = self._sample_in_image(int(idx), want, rng)
             cams.append(np.full((want,), idx, np.int64))
             coords.append(yx)
             total += want
@@ -91,8 +97,8 @@ class PixelSampler:
                 break
         # top up from random images if short (small datasets)
         while total < num_rays:
-            idx = int(self.rng.integers(0, n_images))
-            yx = self._sample_in_image(idx, unit)
+            idx = int(rng.integers(0, n_images))
+            yx = self._sample_in_image(idx, unit, rng)
             cams.append(np.full((unit,), idx, np.int64))
             coords.append(yx)
             total += unit
@@ -158,15 +164,16 @@ class PairPixelSampler(PixelSampler):
         # pairs, not patches
         self.num_rays_per_batch = config.num_rays_per_batch // 2 * 2
 
-    def _sample_in_image(self, idx: int, num_rays: int):
+    def _sample_in_image(self, idx: int, num_rays: int, rng=None):
+        rng = self.rng if rng is None else rng
         img = self.dataset.get_image(idx)
         h, w = img.shape[:2]
         r = self.radius
         n_pairs = max(num_rays // 2, 1)
-        ys = self.rng.integers(r, max(h - r, r + 1), n_pairs)
-        xs = self.rng.integers(r, max(w - r, r + 1), n_pairs)
-        dy = self.rng.integers(-r, r + 1, n_pairs)
-        dx = self.rng.integers(-r, r + 1, n_pairs)
+        ys = rng.integers(r, max(h - r, r + 1), n_pairs)
+        xs = rng.integers(r, max(w - r, r + 1), n_pairs)
+        dy = rng.integers(-r, r + 1, n_pairs)
+        dx = rng.integers(-r, r + 1, n_pairs)
         ys2 = np.clip(ys + dy, 0, h - 1)
         xs2 = np.clip(xs + dx, 0, w - 1)
         yx = np.empty((n_pairs * 2, 2), np.int64)

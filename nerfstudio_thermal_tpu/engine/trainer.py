@@ -106,6 +106,10 @@ class Trainer:
         self._viewer = None
         self.train_lock = __import__("threading").Lock()
 
+        from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
+
+        ensure_exact_f32_matmuls()
+
         self.mesh = mesh_lib.create_mesh(config.num_devices)
         self._train_step_jit = None
         self._start_step = 0

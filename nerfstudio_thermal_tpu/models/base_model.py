@@ -23,6 +23,24 @@ from nerfstudio_thermal_tpu.cameras.cameras import Cameras
 from nerfstudio_thermal_tpu.cameras.rays import RayBundle
 
 
+def crop_near_far(origins: jax.Array, directions: jax.Array, aabb: jax.Array):
+    """Ray/AABB slab intersection for the viewer crop tool -> (nears, fars),
+    fars clamped to nears on miss (renders as background). The near-zero
+    clamp preserves the component's sign: replacing a tiny NEGATIVE
+    direction with +eps would flip that axis's slab interval."""
+    d_safe = jnp.where(
+        directions >= 0.0,
+        jnp.maximum(directions, 1e-10),
+        jnp.minimum(directions, -1e-10),
+    )
+    inv = 1.0 / d_safe
+    t1 = (aabb[0] - origins) * inv
+    t2 = (aabb[1] - origins) * inv
+    nears = jnp.maximum(jnp.max(jnp.minimum(t1, t2), axis=-1, keepdims=True), 0.0)
+    fars = jnp.min(jnp.maximum(t1, t2), axis=-1, keepdims=True)
+    return nears, jnp.maximum(fars, nears)
+
+
 @dataclass
 class ModelConfig:
     """Base model config (reference base_model.py:35-56)."""
@@ -103,15 +121,7 @@ class Model:
         bundle = cameras.generate_rays(idx, coords)
         if crop_aabb is not None:
             aabb = jnp.asarray(np.asarray(crop_aabb, np.float32).reshape(2, 3))
-            d = bundle.directions
-            inv = 1.0 / jnp.where(jnp.abs(d) < 1e-10, 1e-10, d)
-            t1 = (aabb[0] - bundle.origins) * inv
-            t2 = (aabb[1] - bundle.origins) * inv
-            nears = jnp.maximum(
-                jnp.max(jnp.minimum(t1, t2), axis=-1, keepdims=True), 0.0
-            )
-            fars = jnp.min(jnp.maximum(t1, t2), axis=-1, keepdims=True)
-            fars = jnp.maximum(fars, nears)  # miss -> empty segment
+            nears, fars = crop_near_far(bundle.origins, bundle.directions, aabb)
             bundle = bundle.replace(nears=nears, fars=fars)
         outputs = self.render_ray_bundle_chunked(params, bundle, rng=rng)
         return {k: np.asarray(v).reshape(h, w, -1) for k, v in outputs.items()}

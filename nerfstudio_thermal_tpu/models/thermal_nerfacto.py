@@ -401,6 +401,9 @@ class ThermalNerfactoModel(NerfactoModel):
                     jnp.inf,
                 )
                 mask_t = jnp.abs(1.0 - ratio_t) < diff
+                # Deliberate reference quirk (thermal_nerfacto.py:478-487):
+                # removal_thermal composites the thermal densities with the
+                # RGB hierarchy's ray_samples deltas, not ray_samples_t.
                 w_rm_t = ray_samples.get_weights(outputs["density_thermal"] * mask_t)
                 outputs["removal_thermal"] = renderers.render_rgb(
                     fo_t[FieldHeadNames.RGB][..., :1], w_rm_t,

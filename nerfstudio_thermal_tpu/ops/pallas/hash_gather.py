@@ -22,8 +22,10 @@ Why this shape (measured on v5e, tools/diag_hash_r3.py + probes):
   with t = a*128 + b,  d_tab[a, b] = (onehot_hi * g*w)^T @ onehot_lo,
   accumulated per level/corner over query tiles into a VMEM-resident
   [T/128, 128] f32 accumulator. Deterministic, atomic-free, ~4x the XLA
-  scatter. One-hots are exact in bf16; the g*w operand keeps f32 until the
-  dot, which accumulates f32 (preferred_element_type).
+  scatter. One-hots are exact in bf16; the g*w operand is rounded to bf16
+  for the MXU pass (8-bit mantissa per contribution — on par with tcnn's
+  fp16 atomic scatter) and the dot accumulates f32
+  (preferred_element_type).
 - The forward's gathered corner features are saved as residuals so the
   position gradient needs NO re-gather (memory ~8*L*N*F floats; at parity
   train shapes ~1.3 GB, well within 16 GB HBM and cheaper than 1.8 s of

@@ -215,10 +215,14 @@ def rasterize_tiles(
         alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
         alpha = alpha * msk[:, None, :]
         log1m = jnp.log1p(-alpha)
-        log_t = jnp.einsum("tpj,jk->tpk", log1m, upper)  # exclusive prefix
+        # HIGHEST precision: TPU DEFAULT rounds f32 operands to bf16; the
+        # exclusive log-transmittance sums (magnitudes up to K * ~7) and
+        # color weights must stay f32-exact to match the scan oracle
+        hp = jax.lax.Precision.HIGHEST
+        log_t = jnp.einsum("tpj,jk->tpk", log1m, upper, precision=hp)
         w = jnp.exp(log_t) * alpha  # [TC, P, K]
-        rgb = jnp.einsum("tpk,tkc->tpc", w, ccol)
-        dep = jnp.einsum("tpk,tk->tp", w, cdep)
+        rgb = jnp.einsum("tpk,tkc->tpc", w, ccol, precision=hp)
+        dep = jnp.einsum("tpk,tk->tp", w, cdep, precision=hp)
         trans = jnp.exp(log_t[..., -1] + log1m[..., -1])  # full product
         return carry, (rgb, 1.0 - trans, dep, trans)
 

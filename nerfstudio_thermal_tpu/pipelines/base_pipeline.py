@@ -120,14 +120,17 @@ class VanillaPipeline:
         import time
 
         n = len(self.datamanager.eval_dataset)
-        # Warm the jitted render path so the first image's throughput number
-        # excludes the one-off compile.
-        try:
-            self.model.get_outputs_for_camera(
-                params, self.datamanager.eval_cameras, 0, rng=rng
-            )
-        except Exception:
-            pass
+        # Warm the jitted render path once per pipeline so the first image's
+        # throughput number excludes the one-off compile (repeat calls skip
+        # it — the chunked render's jit cache is already hot).
+        if not getattr(self, "_eval_render_warmed", False):
+            try:
+                self.model.get_outputs_for_camera(
+                    params, self.datamanager.eval_cameras, 0, rng=rng
+                )
+            except Exception:
+                pass
+            self._eval_render_warmed = True
         all_metrics = []
         for i in range(n):
             t0 = time.perf_counter()

@@ -116,7 +116,11 @@ def cumsum_mxu(
     if reverse:
         cmp = cmp.T
     m = cmp.astype(xl.dtype)
-    out = jnp.matmul(xl, m)
+    # HIGHEST: TPU DEFAULT-precision matmuls round f32 operands to bf16 —
+    # transmittance/CDF sums must stay exact (the jnp.cumsum they replace
+    # is); the triangular matmul stays far cheaper than the reduce-window
+    # even at 6 MXU passes
+    out = jnp.matmul(xl, m, precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -131,7 +135,11 @@ def broadcast_rows_mxu(u: jax.Array, num_repeats: int) -> jax.Array:
     r, k = u.shape
     cols = jnp.arange(num_repeats * k)
     m = (cols[None, :] % k == jnp.arange(k)[:, None]).astype(u.dtype)
-    return jnp.matmul(u, m).reshape(r * num_repeats, k)
+    # HIGHEST: DEFAULT would round the f32 payload (ray features, origins)
+    # to bf16 on TPU; the selector is exact 0/1 either way
+    return jnp.matmul(u, m, precision=jax.lax.Precision.HIGHEST).reshape(
+        r * num_repeats, k
+    )
 
 
 def safe_norm(x: jax.Array, axis=-1) -> jax.Array:

@@ -1,0 +1,20 @@
+"""Global f32 matmul precision policy.
+
+On TPU, JAX's DEFAULT matmul precision rounds float32 operands to bfloat16
+(one MXU pass). Everywhere this framework *wants* bf16 compute it casts
+explicitly (ops/mlp.py compute_dtype, the Pallas kernels' compute dtype), so
+any matmul still seeing f32 operands is one whose operands are semantically
+exact: transmittance/CDF prefix sums (utils.math.cumsum_mxu), one-hot
+gathers/broadcasts of ray geometry, pose rotations, splat compositing.
+Those silently losing 16 mantissa bits is never intended — CPU tests are
+exact f32, so the mismatch would only surface as an unexplained on-TPU
+quality gap. Entry points (trainer, bench, eval/render scripts, graft
+entry) therefore pin the *default* to "highest" (exact f32 via multi-pass
+MXU); explicit bf16 paths are unaffected (precision config only applies to
+f32-input matmuls)."""
+
+import jax
+
+
+def ensure_exact_f32_matmuls() -> None:
+    jax.config.update("jax_default_matmul_precision", "highest")
