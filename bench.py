@@ -189,6 +189,11 @@ _FLAGSHIP_CANDIDATES = [
     # flagship sets proposal_camera_gradients=False, so fused proposals run
     # without the input-grad chain (need_input_grads=False)
     ("fray-props", {"fused_raymarch": True, "fused_raymarch_proposals": True}),
+    ("fray-all", {
+        "fused_raymarch": True,
+        "fused_field": True,
+        "fused_raymarch_proposals": True,
+    }),
 ]
 
 
