@@ -234,18 +234,22 @@ def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
     )
 
 
-def run_eval_1080p(method_name: str) -> None:
-    """TEST_RAYS_PER_SEC / fps at 1920x1080 (reference engine/trainer.py:519-526,
-    BASELINE.md north star: real-time 1080p rendering; vs_baseline = fps/30)."""
+def _measure_eval_1080p(method_name: str, overrides=None) -> tuple:
+    """One 1920x1080 chunked render measurement -> (rays_per_sec, fps)."""
     import jax
     import jax.numpy as jnp
 
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
     from nerfstudio_thermal_tpu.configs.method_configs import get_method_config
     from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
+    from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
+
+    ensure_exact_f32_matmuls()
 
     h, w = 1080, 1920
     method = get_method_config(method_name)
+    for k, v in (overrides or {}).items():
+        setattr(method.model, k, v)
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
     model = ThermalNerfactoModel(
         method.model, aabb, num_train_data=2, metadata={"is_thermal": [0, 1]}
@@ -267,8 +271,50 @@ def run_eval_1080p(method_name: str) -> None:
     for _ in range(reps):
         out = model.get_outputs_for_camera(params, cam, 0)
     dt = (time.perf_counter() - t0) / reps
-    rays_per_sec = h * w / dt
-    fps = 1.0 / dt
+    return h * w / dt, 1.0 / dt
+
+
+# Forward-only candidates for the eval render: the fused ray-march kernels'
+# only measured downside is the sequential backward, which eval never runs.
+_EVAL_CANDIDATES = [
+    ("default", {}),
+    ("fray-base", {"fused_raymarch": True}),
+]
+
+
+def run_eval_1080p(method_name: str) -> None:
+    """TEST_RAYS_PER_SEC / fps at 1920x1080 (reference engine/trainer.py:519-526,
+    BASELINE.md north star: real-time 1080p rendering; vs_baseline = fps/30).
+    Autotuned over forward-path candidates, each in a watchdogged
+    subprocess."""
+    import subprocess
+    import sys
+
+    results = {}
+    for name, _ in _EVAL_CANDIDATES:
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable, __file__, "--eval-candidate", name,
+                    "--method", method_name,
+                ],
+                capture_output=True, text=True, timeout=420,
+            )
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ][-1]
+            d = json.loads(line)
+            results[name] = (d["value"], d["fps"])
+        except Exception as e:  # noqa: BLE001
+            print(f"# eval candidate {name} failed: {type(e).__name__}: {e}",
+                  flush=True)
+        if name == "default" and "default" not in results:
+            break
+    if not results:
+        raise RuntimeError("no eval candidate completed")
+    winner = max(results, key=lambda k: results[k][0])
+    rays_per_sec, fps = results[winner]
+    cand_note = " ".join(f"{k}={v[1]:.2f}fps" for k, v in results.items())
     print(
         json.dumps(
             {
@@ -277,8 +323,9 @@ def run_eval_1080p(method_name: str) -> None:
                 "unit": "rays/s",
                 "vs_baseline": round(fps / 30.0, 4),
                 "config": method_name,
-                "note": f"{fps:.2f} fps at 1920x1080 chunked eval render; "
-                "vs_baseline = fps / 30 (real-time-1080p north star)",
+                "note": f"{fps:.2f} fps at 1920x1080 chunked eval render, "
+                f"winner={winner} [{cand_note}]; vs_baseline = fps / 30 "
+                "(real-time-1080p north star)",
             }
         ),
         flush=True,
@@ -294,6 +341,21 @@ def _candidate_main(argv):
     overrides = dict(_FLAGSHIP_CANDIDATES)[name]
     value = _measure(method, n_steps, overrides)
     print(json.dumps({"candidate": name, "value": round(value, 1)}), flush=True)
+
+
+def _eval_candidate_main(argv):
+    """Child-process entry for run_eval_1080p."""
+    name = argv[argv.index("--eval-candidate") + 1]
+    method = argv[argv.index("--method") + 1]
+    overrides = dict(_EVAL_CANDIDATES)[name]
+    rays_per_sec, fps = _measure_eval_1080p(method, overrides)
+    print(
+        json.dumps(
+            {"candidate": name, "value": round(rays_per_sec, 1),
+             "fps": round(fps, 4)}
+        ),
+        flush=True,
+    )
 
 
 def main():
@@ -338,5 +400,7 @@ if __name__ == "__main__":
 
     if "--candidate" in sys.argv:
         _candidate_main(sys.argv)
+    elif "--eval-candidate" in sys.argv:
+        _eval_candidate_main(sys.argv)
     else:
         main()
