@@ -600,6 +600,49 @@ def get_method_config(name: str) -> MethodConfig:
     return copy.deepcopy(method_configs[name])
 
 
+def resolve_model_class(model_config):
+    """Model config dataclass -> model class (most-derived config first)."""
+    from nerfstudio_thermal_tpu.models.depth_nerfacto import (
+        DepthNerfactoModel, DepthNerfactoModelConfig,
+    )
+    from nerfstudio_thermal_tpu.models.instant_ngp import (
+        InstantNGPModel, InstantNGPModelConfig,
+    )
+    from nerfstudio_thermal_tpu.models.mipnerf import MipNerfModel, MipNerfModelConfig
+    from nerfstudio_thermal_tpu.models.nerfacto import NerfactoModel
+    from nerfstudio_thermal_tpu.models.neus import NeuSModel, NeuSModelConfig
+    from nerfstudio_thermal_tpu.models.neus_facto import (
+        NeuSFactoModel, NeuSFactoModelConfig,
+    )
+    from nerfstudio_thermal_tpu.models.semantic_nerfw import (
+        SemanticNerfWModel, SemanticNerfWModelConfig,
+    )
+    from nerfstudio_thermal_tpu.models.splatfacto import (
+        SplatfactoModel, SplatfactoModelConfig,
+    )
+    from nerfstudio_thermal_tpu.models.tensorf import TensoRFModel, TensoRFModelConfig
+    from nerfstudio_thermal_tpu.models.thermal_nerfacto import (
+        ThermalNerfactoModel, ThermalNerfactoModelConfig,
+    )
+    from nerfstudio_thermal_tpu.models.vanilla_nerf import NeRFModel, VanillaModelConfig
+
+    for cfg_cls, model_cls in (
+        (SplatfactoModelConfig, SplatfactoModel),
+        (NeuSFactoModelConfig, NeuSFactoModel),
+        (NeuSModelConfig, NeuSModel),
+        (SemanticNerfWModelConfig, SemanticNerfWModel),
+        (TensoRFModelConfig, TensoRFModel),
+        (InstantNGPModelConfig, InstantNGPModel),
+        (DepthNerfactoModelConfig, DepthNerfactoModel),
+        (ThermalNerfactoModelConfig, ThermalNerfactoModel),
+        (MipNerfModelConfig, MipNerfModel),
+        (VanillaModelConfig, NeRFModel),
+    ):
+        if isinstance(model_config, cfg_cls):
+            return model_cls
+    return NerfactoModel
+
+
 def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trainer:
     """Wire dataparser -> datamanager -> model -> pipeline -> trainer
     (the reference's InstantiateConfig.setup() chain, configs/base_config.py:47-56)."""
@@ -720,26 +763,7 @@ def setup_trainer(config: MethodConfig, base_dir: Optional[Path] = None) -> Trai
         )
         pipeline = VanillaPipeline(datamanager, model)
         return Trainer(config.trainer, pipeline, config.optimizers, base_dir=base_dir)
-    elif isinstance(config.model, NeuSFactoModelConfig):
-        model_cls = NeuSFactoModel
-    elif isinstance(config.model, NeuSModelConfig):
-        model_cls = NeuSModel
-    elif isinstance(config.model, SemanticNerfWModelConfig):
-        model_cls = SemanticNerfWModel
-    elif isinstance(config.model, TensoRFModelConfig):
-        model_cls = TensoRFModel
-    elif isinstance(config.model, InstantNGPModelConfig):
-        model_cls = InstantNGPModel
-    elif isinstance(config.model, DepthNerfactoModelConfig):
-        model_cls = DepthNerfactoModel
-    elif isinstance(config.model, ThermalNerfactoModelConfig):
-        model_cls = ThermalNerfactoModel
-    elif isinstance(config.model, MipNerfModelConfig):
-        model_cls = MipNerfModel
-    elif isinstance(config.model, VanillaModelConfig):
-        model_cls = NeRFModel
-    else:
-        model_cls = NerfactoModel
+    model_cls = resolve_model_class(config.model)
     model = model_cls(
         config.model,
         scene_aabb=datamanager.train_dataparser_outputs.scene_box,

@@ -184,80 +184,14 @@ class Trainer:
         if getattr(self.model, "is_generative", False):
             self._build_generative_train_step()
             return
-        model = self.model
-        cfg = model.config
-        tx = self.tx
-        ray_generator = self.ray_generator
-        use_anneal = getattr(cfg, "use_proposal_weight_anneal", True)
-        use_anneal_t = getattr(cfg, "use_proposal_thermal_weight_anneal", False)
-        anneal_iters = getattr(cfg, "proposal_weights_anneal_max_num_iters", 1000)
-        anneal_slope = getattr(cfg, "proposal_weights_anneal_slope", 10.0)
-        warmup = getattr(cfg, "proposal_warmup", 5000)
-        update_every = getattr(cfg, "proposal_update_every", 5)
-
         batch_sharding = mesh_lib.batch_sharding(self.mesh)
         replicated = mesh_lib.replicated_sharding(self.mesh)
 
+        core = make_ray_train_step(self.model, self.tx)
+        cameras = self.ray_generator.cameras
+
         def train_step(state: TrainState, batch):
-            rng, key_model, key_loss, key_extra = jax.random.split(state.rng, 4)
-            step = state.step
-            extra = model.update_extra_state(state.params, state.extra, step, key_extra)
-
-            anneal = (
-                proposal_anneal(step, anneal_iters, anneal_slope) if use_anneal else 1.0
-            )
-            updated, new_ssu = proposal_updated(
-                step, state.steps_since_update, warmup, update_every
-            )
-            if use_anneal_t:
-                anneal_t = proposal_anneal(step, anneal_iters, anneal_slope)
-                updated_t, new_ssu_t = proposal_updated(
-                    step, state.steps_since_update_thermal, warmup, update_every
-                )
-            else:
-                # Reference default: thermal sampler callbacks not registered,
-                # so its counter never advances -> always updated, anneal 1
-                # (thermal_nerfacto.py:222-255).
-                anneal_t = 1.0
-                updated_t = jnp.asarray(True)
-                new_ssu_t = state.steps_since_update_thermal
-
-            thermal_kwargs = {}
-            if hasattr(model, "output_suffixes"):
-                thermal_kwargs = dict(
-                    anneal_thermal=anneal_t, updated_thermal=updated_t
-                )
-
-            def loss_fn(params):
-                bundle = ray_generator(batch["ray_indices"])
-                outputs = model.forward(
-                    params, bundle, train=True, rng=key_model,
-                    anneal=anneal, updated=updated, **thermal_kwargs,
-                    **model.extra_forward_kwargs(extra),
-                )
-                metrics = model.get_metrics_dict(params, outputs, batch, train=True)
-                loss_dict = model.get_loss_dict(
-                    params, outputs, batch, metrics, train=True, rng=key_loss
-                )
-                total = sum(jax.tree.leaves(loss_dict))
-                return total, (loss_dict, metrics)
-
-            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                params=new_params,
-                opt_state=new_opt_state,
-                step=step + 1,
-                steps_since_update=new_ssu,
-                steps_since_update_thermal=new_ssu_t,
-                rng=rng,
-                extra=extra,
-            )
-            scalars = {"loss": loss, **loss_dict, **metrics}
-            return new_state, scalars
+            return core(state, batch, cameras)
 
         self._train_step_jit = jax.jit(
             train_step,
@@ -265,6 +199,7 @@ class Trainer:
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
         )
+
 
     def _build_image_train_step(self):
         """Whole-image train step for rasterization models (splatfacto): the
@@ -608,3 +543,82 @@ class Trainer:
         if set_start is not None:
             set_start(self._start_step)
         print(f"Loaded checkpoint {path} at step {self._start_step}")
+
+
+def make_ray_train_step(model, tx):
+    """Pure ray-batch train step factory: (state, batch, cameras) ->
+    (new_state, scalars). Module-level so MultiSceneTrainer can vmap it over
+    a stacked scene axis (engine/multi_scene.py); Trainer closes over its
+    cameras and jits it 1:1."""
+    cfg = model.config
+    use_anneal = getattr(cfg, "use_proposal_weight_anneal", True)
+    use_anneal_t = getattr(cfg, "use_proposal_thermal_weight_anneal", False)
+    anneal_iters = getattr(cfg, "proposal_weights_anneal_max_num_iters", 1000)
+    anneal_slope = getattr(cfg, "proposal_weights_anneal_slope", 10.0)
+    warmup = getattr(cfg, "proposal_warmup", 5000)
+    update_every = getattr(cfg, "proposal_update_every", 5)
+
+    if True:  # keep the original body's indentation
+        def train_step(state: TrainState, batch, cameras):
+            ray_generator = RayGenerator(cameras)
+            rng, key_model, key_loss, key_extra = jax.random.split(state.rng, 4)
+            step = state.step
+            extra = model.update_extra_state(state.params, state.extra, step, key_extra)
+
+            anneal = (
+                proposal_anneal(step, anneal_iters, anneal_slope) if use_anneal else 1.0
+            )
+            updated, new_ssu = proposal_updated(
+                step, state.steps_since_update, warmup, update_every
+            )
+            if use_anneal_t:
+                anneal_t = proposal_anneal(step, anneal_iters, anneal_slope)
+                updated_t, new_ssu_t = proposal_updated(
+                    step, state.steps_since_update_thermal, warmup, update_every
+                )
+            else:
+                # Reference default: thermal sampler callbacks not registered,
+                # so its counter never advances -> always updated, anneal 1
+                # (thermal_nerfacto.py:222-255).
+                anneal_t = 1.0
+                updated_t = jnp.asarray(True)
+                new_ssu_t = state.steps_since_update_thermal
+
+            thermal_kwargs = {}
+            if hasattr(model, "output_suffixes"):
+                thermal_kwargs = dict(
+                    anneal_thermal=anneal_t, updated_thermal=updated_t
+                )
+
+            def loss_fn(params):
+                bundle = ray_generator(batch["ray_indices"])
+                outputs = model.forward(
+                    params, bundle, train=True, rng=key_model,
+                    anneal=anneal, updated=updated, **thermal_kwargs,
+                    **model.extra_forward_kwargs(extra),
+                )
+                metrics = model.get_metrics_dict(params, outputs, batch, train=True)
+                loss_dict = model.get_loss_dict(
+                    params, outputs, batch, metrics, train=True, rng=key_loss
+                )
+                total = sum(jax.tree.leaves(loss_dict))
+                return total, (loss_dict, metrics)
+
+            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                params=new_params,
+                opt_state=new_opt_state,
+                step=step + 1,
+                steps_since_update=new_ssu,
+                steps_since_update_thermal=new_ssu_t,
+                rng=rng,
+                extra=extra,
+            )
+            scalars = {"loss": loss, **loss_dict, **metrics}
+            return new_state, scalars
+
+    return train_step

@@ -90,6 +90,32 @@ def main(argv=None) -> int:
         print("error: --data is required", file=sys.stderr)
         return 2
 
+    # comma-separated --data = multi-scene batched training: K scenes as one
+    # vmapped SPMD program over a `scene` mesh (engine/multi_scene.py)
+    if config.data is not None and "," in str(config.data):
+        from nerfstudio_thermal_tpu.engine.multi_scene import train_multi_scene
+
+        dirs = [Path(p) for p in str(config.data).split(",") if p]
+        timestamp = time.strftime("%Y-%m-%d_%H%M%S")
+        out = (
+            Path(config.trainer.output_dir)
+            / f"multi_{len(dirs)}scenes" / method / timestamp
+        )
+        out.mkdir(parents=True, exist_ok=True)
+        summary = train_multi_scene(
+            method, dirs,
+            steps=config.trainer.max_num_iterations,
+            num_devices=config.trainer.num_devices,
+            seed=config.trainer.seed,
+            out_dir=out,
+        )
+        print(
+            f"multi-scene training complete: {summary.num_scenes} scenes on "
+            f"{summary.num_devices} device(s), final losses "
+            f"{['%.4f' % x for x in summary.final_losses]}; outputs in {out}"
+        )
+        return 0
+
     timestamp = time.strftime("%Y-%m-%d_%H%M%S")
     exp = config.trainer.experiment_name
     if exp == "experiment":
