@@ -196,12 +196,20 @@ _FLAGSHIP_CANDIDATES = [
     }),
 ]
 
+# extra environment per candidate (subprocess-only): the r3 all-fused
+# regression was measured at blk<=1024 sequential backward blocks — a bigger
+# VMEM activation budget halves the number of sequential grid steps
+_CANDIDATE_ENV = {
+    "fray-all": {"NS_FRAY_BWD_BUDGET_MB": "64"},
+}
+
 
 def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
     """Measure each fused-kernel candidate in its own subprocess (a hard
     timeout kills a candidate wedged inside a C-level TPU sync, which an
     in-process SIGALRM cannot interrupt) and emit the winner as the
     flagship line."""
+    import os
     import subprocess
     import sys
 
@@ -214,6 +222,7 @@ def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
                     "--method", method_name, "--steps", str(n_steps),
                 ],
                 capture_output=True, text=True, timeout=420,
+                env={**os.environ, **_CANDIDATE_ENV.get(name, {})},
             )
             line = [
                 ln for ln in proc.stdout.splitlines() if ln.startswith("{")
