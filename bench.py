@@ -176,6 +176,28 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
     )
 
 
+def _run_child(cmd, env=None, timeout=600) -> str:
+    """Run a candidate subprocess; SIGTERM first on timeout (lets the PJRT
+    client close its device session — a straight SIGKILL mid-sync can wedge
+    the tunnel), SIGKILL only if it ignores that. Returns stdout."""
+    import subprocess
+
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+        return out
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+        raise
+
+
 # Flagship fused-ray-march candidates. The kernels (ops/pallas/fused_mlp.py:
 # fused_ray_mlp / fused_field_mlp) are equivalence-tested but each knob's
 # end-to-end win on a live v5e depends on how the custom-calls interact with
@@ -216,24 +238,27 @@ def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
     results = {}
     for name, _ in _FLAGSHIP_CANDIDATES:
         try:
-            proc = subprocess.run(
+            out = _run_child(
                 [
                     sys.executable, __file__, "--candidate", name,
                     "--method", method_name, "--steps", str(n_steps),
                 ],
-                capture_output=True, text=True, timeout=420,
                 env={**os.environ, **_CANDIDATE_ENV.get(name, {})},
+                timeout=600,
             )
-            line = [
-                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
-            ][-1]
+            line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
             results[name] = json.loads(line)["value"]
+        except subprocess.TimeoutExpired:
+            # a killed mid-sync TPU child can wedge the tunnel (CLAUDE.md);
+            # don't burn the remaining candidates against a dead device
+            print(f"# candidate {name} timed out; skipping the rest", flush=True)
+            break
         except Exception as e:  # noqa: BLE001 — candidate must not kill bench
             print(f"# candidate {name} failed: {type(e).__name__}: {e}", flush=True)
         if name == "default" and "default" not in results:
             break  # baseline candidate dead — device presumed unusable
     if not results:
-        raise RuntimeError("no flagship candidate completed")
+        raise RuntimeError("no flagship candidate completed (device wedged?)")
     winner = max(results, key=results.get)
     cand_note = " ".join(f"{k}={v/1e3:.1f}k" for k, v in results.items())
     _emit(
@@ -302,18 +327,20 @@ def run_eval_1080p(method_name: str) -> None:
     results = {}
     for name, _ in _EVAL_CANDIDATES:
         try:
-            proc = subprocess.run(
+            out = _run_child(
                 [
                     sys.executable, __file__, "--eval-candidate", name,
                     "--method", method_name,
                 ],
-                capture_output=True, text=True, timeout=420,
+                timeout=420,
             )
-            line = [
-                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
-            ][-1]
+            line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
             d = json.loads(line)
             results[name] = (d["value"], d["fps"])
+        except subprocess.TimeoutExpired:
+            print(f"# eval candidate {name} timed out; skipping the rest",
+                  flush=True)
+            break
         except Exception as e:  # noqa: BLE001
             print(f"# eval candidate {name} failed: {type(e).__name__}: {e}",
                   flush=True)
@@ -399,8 +426,12 @@ def main():
             traceback.print_exc()
     try:
         run_flagship_autotuned("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
-    except Exception:
+    except Exception as e:
         traceback.print_exc()
+        if "wedged" in str(e):
+            # the in-process fallback would hang on a dead device and the
+            # driver would record nothing at all
+            raise
         run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 

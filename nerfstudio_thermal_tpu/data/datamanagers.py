@@ -305,6 +305,7 @@ class PrefetchingDataManager(VanillaDataManager):
         self._prefetch_step = 0
         self._gen = 0  # realignment generation; guarded by _step_lock
         self._step_lock = threading.Lock()
+        self._lookahead = None  # stashed future-tagged batch (trainer thread only)
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -318,11 +319,15 @@ class PrefetchingDataManager(VanillaDataManager):
         with self._step_lock:
             self._gen += 1
             self._prefetch_step = int(step)
-        while True:
-            try:
-                self._queue.get_nowait()
-            except queue.Empty:
-                break
+            # drain under the SAME lock: the worker cannot claim a
+            # new-generation step (and enqueue a batch we'd swallow) until
+            # the drain finishes
+            while True:
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    break
+        self._lookahead = None
 
     def _worker(self):
         while not self._stop.is_set():
@@ -344,7 +349,20 @@ class PrefetchingDataManager(VanillaDataManager):
 
     def next_train(self, step: int) -> Dict[str, np.ndarray]:
         # Batches are tagged with (generation, step); drop anything from a
-        # previous generation or drawn for an earlier step.
+        # previous generation or drawn for an earlier step. A future-tagged
+        # batch is STASHED (not discarded) so one rewind costs one inline
+        # sample, after which the prefetched stream is picked back up.
+        if self._lookahead is not None:
+            gen, tag, batch = self._lookahead
+            with self._step_lock:
+                cur_gen = self._gen
+            if gen != cur_gen or tag < step:
+                self._lookahead = None
+            elif tag == step:
+                self._lookahead = None
+                return batch
+            else:  # still in the future
+                return super().next_train(step)
         while True:
             gen, tag, batch = self._queue.get()
             with self._step_lock:
@@ -353,8 +371,10 @@ class PrefetchingDataManager(VanillaDataManager):
                 continue
             if tag == step:
                 return batch
-            # prefetch ran ahead of an unexpected rewind — sample inline
-            # (the stateless (seed, step) sampler makes this thread-safe)
+            # prefetch ran ahead of an unexpected rewind: keep the batch
+            # for when `step` catches up; sample this one inline (the
+            # stateless (seed, step) sampler makes that thread-safe)
+            self._lookahead = (gen, tag, batch)
             return super().next_train(step)
 
     def close(self):

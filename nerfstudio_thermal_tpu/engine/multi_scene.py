@@ -59,6 +59,13 @@ class MultiSceneSummary:
     checkpoint_dir: Optional[Path]
 
 
+def _stack_extra(extra, k: int):
+    """Broadcast one init_extra_state() result to a [k, ...] stack."""
+    if extra is None:
+        return None
+    return jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * k), extra)
+
+
 def split_scene_params(stacked_params, scene: int):
     """Slice scene `scene`'s params out of the stacked pytree (for eval /
     export through the normal single-scene paths)."""
@@ -66,7 +73,7 @@ def split_scene_params(stacked_params, scene: int):
 
 
 def train_multi_scene(
-    method_name: str,
+    method: Any,
     data_dirs: Sequence[Path],
     steps: int = 1000,
     num_devices: Optional[int] = None,
@@ -75,6 +82,11 @@ def train_multi_scene(
     config_overrides: Optional[Dict[str, Any]] = None,
     log_every: int = 100,
 ) -> MultiSceneSummary:
+    """`method` is a registered method name OR an already-CLI-overridden
+    MethodConfig (scripts/train.py passes its mutated config so user flags
+    survive); either way each scene gets its own deep copy."""
+    import copy
+
     from nerfstudio_thermal_tpu.configs.dataparser_configs import build_dataparser
     from nerfstudio_thermal_tpu.configs.method_configs import (
         get_method_config,
@@ -90,11 +102,15 @@ def train_multi_scene(
     if k < 1:
         raise ValueError("need at least one scene")
 
+    base_config = (
+        get_method_config(method) if isinstance(method, str) else method
+    )
+
     # ---- per-scene data ----
     managers, cameras_list, models = [], [], []
     method = None
     for d in data_dirs:
-        cfg = get_method_config(method_name)
+        cfg = copy.deepcopy(base_config)
         for key, v in (config_overrides or {}).items():
             # "datamanager.x" / "trainer.x" / "dataparser.x" route to that
             # section; bare keys are model fields
@@ -127,8 +143,20 @@ def train_multi_scene(
             "family); rasterization/generative methods train per scene"
         )
 
-    # thermal methods bake per-camera modality masks into the module: the
-    # vmapped step shares ONE module, so layouts must agree
+    # one module is shared across the vmapped axis, and its per-camera
+    # tables (camera optimizer, appearance embedding) are sized by scene
+    # 0's image count — a scene with MORE cameras would silently gather
+    # zero/clamped rows, so unequal counts are an error, not a pad
+    n0 = len(managers[0].train_dataset)
+    for i, dm in enumerate(managers[1:], 1):
+        if len(dm.train_dataset) != n0:
+            raise ValueError(
+                f"scene {i} has {len(dm.train_dataset)} training images but "
+                f"scene 0 has {n0}; multi-scene batching shares one module, "
+                "so per-camera tables require equal image counts"
+            )
+    # thermal methods additionally bake per-camera modality masks into the
+    # module, so layouts must agree
     therm0 = list(managers[0].train_dataset.is_thermal)
     for i, dm in enumerate(managers[1:], 1):
         if list(dm.train_dataset.is_thermal) != therm0 and hasattr(
@@ -162,14 +190,7 @@ def train_multi_scene(
         steps_since_update=jnp.zeros((k,), jnp.int32),
         steps_since_update_thermal=jnp.zeros((k,), jnp.int32),
         rng=jax.vmap(lambda r: jax.random.split(r)[0])(scene_keys),
-        extra=(
-            jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *[model.init_extra_state() for _ in range(k)],
-            )
-            if model.init_extra_state() is not None
-            else None
-        ),
+        extra=_stack_extra(model.init_extra_state(), k),
     )
 
     # ---- scene mesh + shardings ----

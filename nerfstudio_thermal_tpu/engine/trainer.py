@@ -558,67 +558,66 @@ def make_ray_train_step(model, tx):
     warmup = getattr(cfg, "proposal_warmup", 5000)
     update_every = getattr(cfg, "proposal_update_every", 5)
 
-    if True:  # keep the original body's indentation
-        def train_step(state: TrainState, batch, cameras):
-            ray_generator = RayGenerator(cameras)
-            rng, key_model, key_loss, key_extra = jax.random.split(state.rng, 4)
-            step = state.step
-            extra = model.update_extra_state(state.params, state.extra, step, key_extra)
+    def train_step(state: TrainState, batch, cameras):
+        ray_generator = RayGenerator(cameras)
+        rng, key_model, key_loss, key_extra = jax.random.split(state.rng, 4)
+        step = state.step
+        extra = model.update_extra_state(state.params, state.extra, step, key_extra)
 
-            anneal = (
-                proposal_anneal(step, anneal_iters, anneal_slope) if use_anneal else 1.0
+        anneal = (
+            proposal_anneal(step, anneal_iters, anneal_slope) if use_anneal else 1.0
+        )
+        updated, new_ssu = proposal_updated(
+            step, state.steps_since_update, warmup, update_every
+        )
+        if use_anneal_t:
+            anneal_t = proposal_anneal(step, anneal_iters, anneal_slope)
+            updated_t, new_ssu_t = proposal_updated(
+                step, state.steps_since_update_thermal, warmup, update_every
             )
-            updated, new_ssu = proposal_updated(
-                step, state.steps_since_update, warmup, update_every
+        else:
+            # Reference default: thermal sampler callbacks not registered,
+            # so its counter never advances -> always updated, anneal 1
+            # (thermal_nerfacto.py:222-255).
+            anneal_t = 1.0
+            updated_t = jnp.asarray(True)
+            new_ssu_t = state.steps_since_update_thermal
+
+        thermal_kwargs = {}
+        if hasattr(model, "output_suffixes"):
+            thermal_kwargs = dict(
+                anneal_thermal=anneal_t, updated_thermal=updated_t
             )
-            if use_anneal_t:
-                anneal_t = proposal_anneal(step, anneal_iters, anneal_slope)
-                updated_t, new_ssu_t = proposal_updated(
-                    step, state.steps_since_update_thermal, warmup, update_every
-                )
-            else:
-                # Reference default: thermal sampler callbacks not registered,
-                # so its counter never advances -> always updated, anneal 1
-                # (thermal_nerfacto.py:222-255).
-                anneal_t = 1.0
-                updated_t = jnp.asarray(True)
-                new_ssu_t = state.steps_since_update_thermal
 
-            thermal_kwargs = {}
-            if hasattr(model, "output_suffixes"):
-                thermal_kwargs = dict(
-                    anneal_thermal=anneal_t, updated_thermal=updated_t
-                )
-
-            def loss_fn(params):
-                bundle = ray_generator(batch["ray_indices"])
-                outputs = model.forward(
-                    params, bundle, train=True, rng=key_model,
-                    anneal=anneal, updated=updated, **thermal_kwargs,
-                    **model.extra_forward_kwargs(extra),
-                )
-                metrics = model.get_metrics_dict(params, outputs, batch, train=True)
-                loss_dict = model.get_loss_dict(
-                    params, outputs, batch, metrics, train=True, rng=key_loss
-                )
-                total = sum(jax.tree.leaves(loss_dict))
-                return total, (loss_dict, metrics)
-
-            (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(
-                params=new_params,
-                opt_state=new_opt_state,
-                step=step + 1,
-                steps_since_update=new_ssu,
-                steps_since_update_thermal=new_ssu_t,
-                rng=rng,
-                extra=extra,
+        def loss_fn(params):
+            bundle = ray_generator(batch["ray_indices"])
+            outputs = model.forward(
+                params, bundle, train=True, rng=key_model,
+                anneal=anneal, updated=updated, **thermal_kwargs,
+                **model.extra_forward_kwargs(extra),
             )
-            scalars = {"loss": loss, **loss_dict, **metrics}
-            return new_state, scalars
+            metrics = model.get_metrics_dict(params, outputs, batch, train=True)
+            loss_dict = model.get_loss_dict(
+                params, outputs, batch, metrics, train=True, rng=key_loss
+            )
+            total = sum(jax.tree.leaves(loss_dict))
+            return total, (loss_dict, metrics)
+
+        (loss, (loss_dict, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            opt_state=new_opt_state,
+            step=step + 1,
+            steps_since_update=new_ssu,
+            steps_since_update_thermal=new_ssu_t,
+            rng=rng,
+            extra=extra,
+        )
+        scalars = {"loss": loss, **loss_dict, **metrics}
+        return new_state, scalars
 
     return train_step

@@ -128,9 +128,9 @@ class VanillaPipeline:
                 self.model.get_outputs_for_camera(
                     params, self.datamanager.eval_cameras, 0, rng=rng
                 )
+                self._eval_render_warmed = True  # only a SUCCESSFUL render warms
             except Exception:
                 pass
-            self._eval_render_warmed = True
         all_metrics = []
         for i in range(n):
             t0 = time.perf_counter()

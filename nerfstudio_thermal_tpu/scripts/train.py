@@ -102,8 +102,10 @@ def main(argv=None) -> int:
             / f"multi_{len(dirs)}scenes" / method / timestamp
         )
         out.mkdir(parents=True, exist_ok=True)
+        # pass the CLI-overridden config itself so --model.*/--datamanager.*
+        # flags survive into every scene's copy
         summary = train_multi_scene(
-            method, dirs,
+            config, dirs,
             steps=config.trainer.max_num_iterations,
             num_devices=config.trainer.num_devices,
             seed=config.trainer.seed,
