@@ -149,20 +149,21 @@ def _measure(method_name: str, n_steps: int, overrides=None) -> float:
     return num_rays * n_steps / dt
 
 
-def _emit(metric, rays_per_sec, method_name, note=""):
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
-                "config": method_name,
-                "note": note,
-            }
-        ),
-        flush=True,
+def _format(metric, rays_per_sec, method_name, note=""):
+    return json.dumps(
+        {
+            "metric": metric,
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+            "config": method_name,
+            "note": note,
+        }
     )
+
+
+def _emit(metric, rays_per_sec, method_name, note=""):
+    print(_format(metric, rays_per_sec, method_name, note), flush=True)
 
 
 def run(method_name: str, metric: str, n_steps: int) -> None:
@@ -227,10 +228,14 @@ _CANDIDATE_ENV = {
 
 
 def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
+    print(_autotune_flagship(method_name, metric, n_steps), flush=True)
+
+
+def _autotune_flagship(method_name: str, metric: str, n_steps: int) -> str:
     """Measure each fused-kernel candidate in its own subprocess (a hard
     timeout kills a candidate wedged inside a C-level TPU sync, which an
-    in-process SIGALRM cannot interrupt) and emit the winner as the
-    flagship line."""
+    in-process SIGALRM cannot interrupt) and return the winner's JSON line
+    (the caller prints it LAST — the driver parses the final line)."""
     import os
     import subprocess
     import sys
@@ -261,7 +266,7 @@ def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
         raise RuntimeError("no flagship candidate completed (device wedged?)")
     winner = max(results, key=results.get)
     cand_note = " ".join(f"{k}={v/1e3:.1f}k" for k, v in results.items())
-    _emit(
+    return _format(
         metric, results[winner], method_name,
         note=f"autotuned fused-raymarch winner={winner} [{cand_note}]; "
         "r2 176k -> r3 MXU one-hot gathers/tril-cumsum + fused-ray-march autotune",
@@ -394,44 +399,74 @@ def _eval_candidate_main(argv):
     )
 
 
-def main():
+def _row_main(argv):
+    """Child-process entry for the non-final bench rows (hash parity /
+    parity workload): prints its own JSON line(s)."""
     import os
     import traceback
 
-    # reference-parity hash-grid config first; the flagship LAST (the driver
-    # parses the final line). Every non-final row is fail-soft so the
-    # flagship line always prints.
-    try:
-        run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
-    except Exception:
-        traceback.print_exc()
-        # dynamic-gather kernel trouble on this backend? retry on XLA path
-        os.environ["NS_HASH_DG"] = "0"
+    row = argv[argv.index("--row") + 1]
+    if row == "hash":
         try:
             run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
         except Exception:
             traceback.print_exc()
-        finally:
-            os.environ.pop("NS_HASH_DG", None)
-    for fail_soft in (
-        lambda: run_eval_1080p("thermal-nerfacto-tpu"),
+            # dynamic-gather kernel trouble on this backend? retry on XLA path
+            os.environ["NS_HASH_DG"] = "0"
+            run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
+    elif row == "parity":
         # flagship at the reference's own workload constants ((256,96)/48,
         # full-rate regularizers) — the apples-to-apples throughput row
-        lambda: run("thermal-nerfacto-tpu@parity",
-                    "train_rays_per_sec_parity_workload", n_steps=10),
-    ):
+        run("thermal-nerfacto-tpu@parity",
+            "train_rays_per_sec_parity_workload", n_steps=10)
+    else:
+        raise ValueError(f"unknown row {row}")
+
+
+def main():
+    import subprocess
+    import sys
+    import traceback
+
+    # The driver parses the LAST line, so the flagship number is measured
+    # FIRST (while the device is freshest) but printed last; every other
+    # row runs in a timeout-capped subprocess so nothing can hang between
+    # the measurement and that final print.
+    flagship_line = None
+    timed_out = False
+    try:
+        flagship_line = _autotune_flagship(
+            "thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30
+        )
+    except Exception:
+        traceback.print_exc()
+
+    for row, timeout in (("hash", 900), ("parity", 600)):
+        if timed_out:
+            break
         try:
-            fail_soft()
+            out = _run_child(
+                [sys.executable, __file__, "--row", row], timeout=timeout
+            )
+            for ln in out.splitlines():
+                if ln.startswith("{"):
+                    print(ln, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# row {row} timed out; skipping remaining rows", flush=True)
+            timed_out = True
         except Exception:
             traceback.print_exc()
-    try:
-        run_flagship_autotuned("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
-    except Exception as e:
-        traceback.print_exc()
-        if "wedged" in str(e):
-            # the in-process fallback would hang on a dead device and the
-            # driver would record nothing at all
-            raise
+    if not timed_out:
+        try:
+            run_eval_1080p("thermal-nerfacto-tpu")  # already child-per-candidate
+        except Exception:
+            traceback.print_exc()
+
+    if flagship_line is not None:
+        print(flagship_line, flush=True)
+    elif not timed_out:
+        # autotune machinery failed but the device looks alive: last-resort
+        # in-process measurement so the driver still gets a flagship line
         run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
 
 
@@ -442,5 +477,7 @@ if __name__ == "__main__":
         _candidate_main(sys.argv)
     elif "--eval-candidate" in sys.argv:
         _eval_candidate_main(sys.argv)
+    elif "--row" in sys.argv:
+        _row_main(sys.argv)
     else:
         main()
