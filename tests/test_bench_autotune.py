@@ -1,0 +1,108 @@
+"""bench.py autotune plumbing (mocked children — no device needed).
+
+The driver parses the LAST stdout line of `python bench.py`, so these
+tests pin the invariants that protect the flagship number: winner
+selection, fail-soft candidates, timeout short-circuits, and
+flagship-measured-first / printed-last ordering."""
+
+import json
+import subprocess
+
+import pytest
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    import bench as b
+
+    return b
+
+
+def _fake_child(values, timeouts=(), failures=()):
+    def child(cmd, env=None, timeout=600):
+        if "--candidate" in cmd:
+            name = cmd[cmd.index("--candidate") + 1]
+            if name in timeouts:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+            if name in failures:
+                raise RuntimeError("boom")
+            return json.dumps({"candidate": name, "value": values[name]}) + "\n"
+        if "--eval-candidate" in cmd:
+            name = cmd[cmd.index("--eval-candidate") + 1]
+            return json.dumps({"candidate": name, "value": 1e6, "fps": 0.5}) + "\n"
+        if "--row" in cmd:
+            row = cmd[cmd.index("--row") + 1]
+            if row in timeouts:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+            return (
+                json.dumps({"metric": f"row_{row}", "value": 1.0,
+                            "unit": "rays/s", "vs_baseline": 0.0}) + "\n"
+            )
+        raise AssertionError(cmd)
+
+    return child
+
+
+def test_winner_selection_and_fail_soft(bench, monkeypatch, capsys):
+    vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+    vals["fray-props"] = 222222.0
+    monkeypatch.setattr(
+        bench, "_run_child", _fake_child(vals, failures={"fray-field"})
+    )
+    line = bench._autotune_flagship("m", "train_rays_per_sec", 5)
+    d = json.loads(line)
+    assert d["value"] == 222222.0
+    assert "winner=fray-props" in d["note"]
+    assert "fray-field" not in d["note"].split("[")[1]  # failed candidate absent
+
+
+def test_candidate_timeout_skips_rest(bench, monkeypatch):
+    vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+    tried = []
+    inner = _fake_child(vals, timeouts={"fray-base"})
+
+    def spy(cmd, env=None, timeout=600):
+        if "--candidate" in cmd:
+            tried.append(cmd[cmd.index("--candidate") + 1])
+        return inner(cmd, env, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", spy)
+    line = bench._autotune_flagship("m", "train_rays_per_sec", 5)
+    assert tried == ["default", "fray-base"]  # timeout stops the sweep
+    assert json.loads(line)["value"] == 100000.0
+
+
+def test_main_prints_flagship_last(bench, monkeypatch, capsys):
+    vals = {n: 150000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+    monkeypatch.setattr(bench, "_run_child", _fake_child(vals))
+    bench.main()
+    lines = [
+        json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines, "no JSON emitted"
+    assert lines[-1]["metric"] == "train_rays_per_sec"
+    assert lines[-1]["value"] == 150000.0
+    # the other rows came before it
+    assert {l["metric"] for l in lines[:-1]} >= {"row_hash", "row_parity"}
+
+
+def test_main_row_timeout_still_prints_flagship(bench, monkeypatch, capsys):
+    vals = {n: 150000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+    monkeypatch.setattr(
+        bench, "_run_child", _fake_child(vals, timeouts={"hash"})
+    )
+    bench.main()
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ]
+    assert json.loads(lines[-1])["metric"] == "train_rays_per_sec"
+
+
+def test_child_runner_terminates_on_timeout(bench):
+    import sys
+
+    with pytest.raises(subprocess.TimeoutExpired):
+        bench._run_child(
+            [sys.executable, "-c", "import time; time.sleep(60)"], timeout=1
+        )
