@@ -107,7 +107,7 @@ def train_multi_scene(
     )
 
     # ---- per-scene data ----
-    managers, cameras_list, models = [], [], []
+    managers, cameras_list, models, scene_cfgs = [], [], [], []
     method = None
     for d in data_dirs:
         cfg = copy.deepcopy(base_config)
@@ -133,6 +133,7 @@ def train_multi_scene(
             metadata=metadata,
         )
         models.append(model)
+        scene_cfgs.append(cfg)
         method = cfg
 
     if getattr(models[0], "is_rasterization", False) or getattr(
@@ -241,12 +242,46 @@ def train_multi_scene(
 
     ckpt_dir = None
     if out_dir is not None:
+        # One STANDARD single-scene artifact set per scene (config.yml +
+        # nerfstudio_models/step-* + dataparser_transforms.json), so
+        # ns-eval / ns-render / ns-viewer consume multi-scene runs with no
+        # special casing.
+        import json as _json
+
         import orbax.checkpoint as ocp
 
-        ckpt_dir = Path(out_dir).resolve() / "multi_scene_models"
-        host_params = jax.tree.map(np.asarray, state.params)
+        from nerfstudio_thermal_tpu.configs.serialization import save_config
+
+        ckpt_dir = Path(out_dir).resolve()
+        host = jax.tree.map(np.asarray, state)
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(ckpt_dir / f"step-{steps:09d}", host_params)
+        for i, d in enumerate(data_dirs):
+            scene_dir = ckpt_dir / f"scene_{i}_{Path(d).name}"
+            scene_dir.mkdir(parents=True, exist_ok=True)
+            save_config(scene_cfgs[i], scene_dir / "config.yml")
+            (scene_dir / "dataparser_transforms.json").write_text(
+                _json.dumps(
+                    managers[i].train_dataparser_outputs.as_dict(), indent=2
+                )
+            )
+            sl = lambda x: np.asarray(x[i])  # noqa: B023 — consumed eagerly
+            ckpt = {
+                "params": jax.tree.map(sl, host.params),
+                "opt_state": jax.tree.map(sl, host.opt_state),
+                "step": int(host.step[i]),
+                "steps_since_update": int(host.steps_since_update[i]),
+                "steps_since_update_thermal": int(
+                    host.steps_since_update_thermal[i]
+                ),
+                "rng": np.asarray(host.rng[i]),
+                "eval_image_index": 0,
+            }
+            if host.extra is not None:
+                ckpt["extra"] = jax.tree.map(sl, host.extra)
+            ckptr.save(
+                (scene_dir / "nerfstudio_models" / f"step-{steps:09d}").absolute(),
+                ckpt, force=True,
+            )
 
     return MultiSceneSummary(
         num_scenes=k,

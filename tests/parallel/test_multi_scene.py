@@ -56,8 +56,19 @@ def test_two_scenes_on_two_devices(scene_dirs, tmp_path):
     assert all(np.isfinite(summary.final_losses))
     # different data + different per-scene rng -> different trajectories
     assert summary.final_losses[0] != summary.final_losses[1]
-    # checkpoint written and splittable
-    assert summary.checkpoint_dir is not None and summary.checkpoint_dir.exists()
+    # one STANDARD artifact set per scene, loadable by ns-eval's eval_setup
+    assert summary.checkpoint_dir is not None
+    scene_dirs = sorted(summary.checkpoint_dir.glob("scene_*"))
+    assert len(scene_dirs) == 2
+    for d in scene_dirs:
+        assert (d / "config.yml").exists()
+        assert (d / "dataparser_transforms.json").exists()
+        assert list((d / "nerfstudio_models").glob("step-*"))
+    from nerfstudio_thermal_tpu.utils.eval_utils import eval_setup
+
+    _, trainer, params = eval_setup(scene_dirs[0] / "config.yml")
+    assert int(trainer.state.step) == 4  # restored at the trained step
+    assert any(np.asarray(x).size for x in __import__("jax").tree.leaves(params))
 
 
 def test_scene0_matches_single_scene_run(scene_dirs):
