@@ -10,11 +10,13 @@ scenes' training with zero cross-scene communication (XLA inserts none:
 no collectives cross the vmapped axis), so K scenes on D devices cost the
 wall-clock of K/D scenes on one.
 
-Constraints (enforced): all scenes train the same method config, and their
-camera stacks are padded to the widest scene (padded camera slots are never
-sampled — each scene's host sampler draws from its own true camera count).
-Thermal methods additionally need the same per-camera is_thermal layout,
-because the camera-optimizer modality masks are baked into the module.
+Constraints (enforced): all scenes train the same method config with EQUAL
+per-scene training-image counts — the shared module's per-camera tables
+(camera optimizer, appearance embeddings) are sized once, so a larger scene
+would silently gather out-of-range rows. Thermal methods additionally need
+the same per-camera is_thermal layout, because the camera-optimizer
+modality masks are baked into the module. (Camera stacks are still padded
+defensively to the widest scene; padded slots are never sampled.)
 
 Use via `ns-train <method> --data dir1,dir2,... --machine.num-devices D`
 (scripts/train.py routes comma-separated data dirs here) or directly:
