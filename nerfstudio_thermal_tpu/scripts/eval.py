@@ -10,6 +10,9 @@ from pathlib import Path
 
 
 def main(argv=None) -> int:
+    from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
+
+    ensure_exact_f32_matmuls()  # also re-asserts $JAX_PLATFORMS (see util)
     argv = list(sys.argv[1:] if argv is None else argv)
     load_config = None
     output_path = Path("output.json")

@@ -27,6 +27,9 @@ from nerfstudio_thermal_tpu.configs.serialization import save_config
 
 
 def main(argv=None) -> int:
+    from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
+
+    ensure_exact_f32_matmuls()  # also re-asserts $JAX_PLATFORMS (see util)
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: ns-train METHOD [--data PATH] [--<config.path> VALUE ...]\n")

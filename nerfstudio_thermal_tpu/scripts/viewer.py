@@ -8,6 +8,9 @@ from pathlib import Path
 
 
 def main(argv=None) -> int:
+    from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
+
+    ensure_exact_f32_matmuls()  # also re-asserts $JAX_PLATFORMS (see util)
     argv = list(sys.argv[1:] if argv is None else argv)
     load_config = None
     port = 7007
@@ -41,6 +44,10 @@ def main(argv=None) -> int:
     config, trainer, params = eval_setup(load_config)
     model = trainer.pipeline.model
     cameras = trainer.datamanager.eval_cameras
+    if int(cameras.camera_to_worlds.shape[0]) == 0:
+        # datasets whose split leaves no eval images still need a camera
+        # for output probing / export bounds
+        cameras = trainer.datamanager.train_cameras
 
     server = ViewerServer(
         make_model_render_fn(model, lambda: params),

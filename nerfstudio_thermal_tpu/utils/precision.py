@@ -13,8 +13,28 @@ entry) therefore pin the *default* to "highest" (exact f32 via multi-pass
 MXU); explicit bf16 paths are unaffected (precision config only applies to
 f32-input matmuls)."""
 
+import os
+
 import jax
 
 
 def ensure_exact_f32_matmuls() -> None:
+    apply_platform_env()
     jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def apply_platform_env() -> None:
+    """Re-assert $JAX_PLATFORMS into jax.config.
+
+    Accelerator-plugin sitecustomize hooks (e.g. the axon TPU tunnel) call
+    jax.config.update("jax_platforms", ...) at interpreter start, which
+    CLOBBERS the environment variable — `JAX_PLATFORMS=cpu ns-train ...`
+    would silently run (or hang) on the plugin backend. Every entry point
+    calls this (via ensure_exact_f32_matmuls) so the user's env choice
+    wins again."""
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass  # unknown platform strings surface at first device use

@@ -242,6 +242,8 @@ def probe_output_names(model, params, cameras=None) -> list:
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
 
     try:
+        if cameras is not None and int(cameras.camera_to_worlds.shape[0]) == 0:
+            cameras = None  # empty eval split: probe with a synthetic camera
         if cameras is None:
             c2w = np.eye(4, dtype=np.float32)[:3][None]
             c2w[:, 0, 3] = 2.0

@@ -119,3 +119,39 @@ def test_viewer_ws_protocol_render_and_export(tiny_trainer, tmp_path):
             assert Path(reply["path"]).suffix == ".ply"
 
     asyncio.run(drive())
+
+
+def test_probe_output_names_with_empty_eval_split(tiny_trainer):
+    """Datasets whose split leaves zero eval cameras must still probe
+    (session-2 fix: index 0 of a 0-camera stack crashed the probe and the
+    viewer fell back to a bare ['rgb'] list)."""
+    import jax
+
+    from nerfstudio_thermal_tpu.viewer.server import probe_output_names
+
+    empty = jax.tree.map(
+        lambda x: x[:0], tiny_trainer.datamanager.eval_cameras
+    )
+    names = probe_output_names(
+        tiny_trainer.model, tiny_trainer.host_params(), empty
+    )
+    assert "rgb_thermal" in names  # real enumeration, not the fallback
+
+
+def test_platform_env_reassertion(monkeypatch):
+    """apply_platform_env must re-assert $JAX_PLATFORMS over a plugin's
+    jax.config.update('jax_platforms', ...) (session-2 fix: the axon
+    sitecustomize clobbers the env var, so `JAX_PLATFORMS=cpu ns-train`
+    hung on the tunnel)."""
+    import jax
+
+    from nerfstudio_thermal_tpu.utils.precision import apply_platform_env
+
+    before = jax.config.jax_platforms
+    try:
+        jax.config.update("jax_platforms", "cpu,cpu")  # plugin-style clobber
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        apply_platform_env()
+        assert jax.config.jax_platforms == "cpu"
+    finally:
+        jax.config.update("jax_platforms", before)
