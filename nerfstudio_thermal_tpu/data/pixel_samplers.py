@@ -75,6 +75,11 @@ class PixelSampler:
         )
         num_rays = num_rays or self.num_rays_per_batch
         n_images = len(self.dataset)
+        if n_images == 0:
+            raise ValueError(
+                "cannot sample rays from an empty dataset (is the eval "
+                "split empty? small datasets assign every image to train)"
+            )
         p = self.config.patch_size
         unit = p * p
         per_image = max(unit, (num_rays // n_images) // unit * unit)

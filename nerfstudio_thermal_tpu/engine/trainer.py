@@ -366,18 +366,21 @@ class Trainer:
                 self.config.steps_per_eval_batch > 0
                 and step > 0
                 and step % self.config.steps_per_eval_batch == 0
+                and self._has_eval_data()
             ):
                 self.eval_batch_iteration(step)
             if (
                 self.config.steps_per_eval_image > 0
                 and step > 0
                 and step % self.config.steps_per_eval_image == 0
+                and self._has_eval_data()
             ):
                 self.eval_iteration(step)
             if (
                 self.config.steps_per_eval_all_images > 0
                 and step > 0
                 and step % self.config.steps_per_eval_all_images == 0
+                and self._has_eval_data()
             ):
                 metrics = self.pipeline.get_average_eval_image_metrics(
                     self.host_params(), step
@@ -386,6 +389,24 @@ class Trainer:
             if step > 0 and step % self.config.steps_per_save == 0:
                 self.save_checkpoint(step)
         self.save_checkpoint(self.config.max_num_iterations)
+
+    def _has_eval_data(self) -> bool:
+        """True when the eval split is non-empty. Small datasets legitimately
+        produce an empty split (the paired fraction split gives every pair to
+        train below ~10 pairs at the default 0.9); evals are then skipped with
+        a single notice instead of throwing every cadence."""
+        ds = getattr(self.datamanager, "eval_dataset", None)
+        try:
+            n = len(ds) if ds is not None else 0
+        except TypeError:
+            n = 1  # datamanagers without a sized eval dataset: attempt evals
+        if n == 0 and not getattr(self, "_warned_empty_eval", False):
+            self._warned_empty_eval = True
+            print(
+                "eval split is empty (all images assigned to train); "
+                "skipping batch/image evals for this run"
+            )
+        return n > 0
 
     def eval_batch_iteration(self, step: int):
         """Eval-ray-batch losses (reference trainer.py:501-517)."""

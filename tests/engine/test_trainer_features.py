@@ -79,3 +79,33 @@ def test_eval_batch_cadence(tmp_path):
     trainer.train()
     events = (tmp_path / "out" / "events.jsonl").read_text()
     assert "eval/eval_rgb_loss" in events or "eval_rgb_loss" in events
+
+
+def test_empty_eval_split_skips_evals(tmp_path, capsys):
+    """4 pairs at the default 0.9 paired split -> 0 eval images. All eval
+    cadences must be skipped with a single notice, never an exception."""
+    data = make_synthetic_rgbt_dataset(tmp_path / "data")
+    cfg = tiny_method("thermal-nerfacto", data, density_mode="rgb_only", max_iters=3)
+    cfg.dataparser.train_split_fraction = 0.9  # undo tiny_method's 0.5
+    cfg.trainer.steps_per_eval_batch = 1
+    cfg.trainer.steps_per_eval_image = 2
+    trainer = setup_trainer(cfg, base_dir=tmp_path / "out")
+    trainer.setup()
+    assert len(trainer.datamanager.eval_dataset) == 0
+    trainer.train()
+    out = capsys.readouterr().out
+    assert out.count("eval split is empty") == 1
+    assert "eval batch failed" not in out and "eval image failed" not in out
+
+
+def test_pixel_sampler_empty_dataset_raises():
+    from nerfstudio_thermal_tpu.data.pixel_samplers import (
+        PixelSampler, PixelSamplerConfig,
+    )
+
+    sampler = PixelSampler(PixelSamplerConfig(num_rays_per_batch=16), [], seed=0)
+    try:
+        sampler.sample(step=0)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "empty dataset" in str(e)
