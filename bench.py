@@ -180,15 +180,16 @@ def run(method_name: str, metric: str, n_steps: int) -> None:
 def _run_child(cmd, env=None, timeout=600) -> str:
     """Run a candidate subprocess; SIGTERM first on timeout (lets the PJRT
     client close its device session — a straight SIGKILL mid-sync can wedge
-    the tunnel), SIGKILL only if it ignores that. Returns stdout."""
+    the tunnel), SIGKILL only if it ignores that. Returns stdout; if the
+    child produced no JSON line, raise with its stderr tail (otherwise a
+    crash surfaces only as an opaque IndexError upstream)."""
     import subprocess
 
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env
     )
     try:
-        out, _ = proc.communicate(timeout=timeout)
-        return out
+        out, err = proc.communicate(timeout=timeout)
     except subprocess.TimeoutExpired:
         proc.terminate()
         try:
@@ -197,6 +198,12 @@ def _run_child(cmd, env=None, timeout=600) -> str:
             proc.kill()
             proc.communicate()
         raise
+    if not any(ln.startswith("{") for ln in out.splitlines()):
+        tail = "\n".join(err.strip().splitlines()[-8:])
+        raise RuntimeError(
+            f"child produced no JSON (exit {proc.returncode}); stderr tail:\n{tail}"
+        )
+    return out
 
 
 # Flagship fused-ray-march candidates. The kernels (ops/pallas/fused_mlp.py:
@@ -206,25 +213,18 @@ def _run_child(cmd, env=None, timeout=600) -> str:
 # alone and lost in-step, CLAUDE.md). The bench therefore measures each
 # candidate fail-soft and ships the fastest as the flagship line.
 _FLAGSHIP_CANDIDATES = [
+    # the shipped flagship now has fused_raymarch=True (base field only) —
+    # r3 measured winner: 180.9k vs 178.0k (off) vs 175.9k (whole-field
+    # megakernel). Fused PROPOSALS measured a 2x loss (90.3k, and 89.9k
+    # with a 64 MB backward budget): sequential backward blocks — dropped
+    # from the sweep to keep the driver's bench round short.
     ("default", {}),
-    ("fray-base", {"fused_raymarch": True}),
+    ("no-fray", {"fused_raymarch": False}),
     ("fray-field", {"fused_raymarch": True, "fused_field": True}),
-    # flagship sets proposal_camera_gradients=False, so fused proposals run
-    # without the input-grad chain (need_input_grads=False)
-    ("fray-props", {"fused_raymarch": True, "fused_raymarch_proposals": True}),
-    ("fray-all", {
-        "fused_raymarch": True,
-        "fused_field": True,
-        "fused_raymarch_proposals": True,
-    }),
 ]
 
-# extra environment per candidate (subprocess-only): the r3 all-fused
-# regression was measured at blk<=1024 sequential backward blocks — a bigger
-# VMEM activation budget halves the number of sequential grid steps
-_CANDIDATE_ENV = {
-    "fray-all": {"NS_FRAY_BWD_BUDGET_MB": "64"},
-}
+# extra environment per candidate (subprocess-only)
+_CANDIDATE_ENV = {}
 
 
 def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
@@ -316,8 +316,8 @@ def _measure_eval_1080p(method_name: str, overrides=None) -> tuple:
 # Forward-only candidates for the eval render: the fused ray-march kernels'
 # only measured downside is the sequential backward, which eval never runs.
 _EVAL_CANDIDATES = [
-    ("default", {}),
-    ("fray-base", {"fused_raymarch": True}),
+    ("default", {}),  # flagship ships fused_raymarch=True
+    ("no-fray", {"fused_raymarch": False}),
 ]
 
 

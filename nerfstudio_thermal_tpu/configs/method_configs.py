@@ -191,6 +191,13 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     # reference constants.
     cfg.model.num_proposal_samples_per_ray = (128, 48)
     cfg.model.num_nerf_samples_per_ray = 32
+    # Fused ray-march on the BASE field only (posgen + contraction + freq
+    # encoding inside the Pallas MLP kernel): measured r3 autotune on v5e —
+    # fray-base 180.9k vs default 178.0k rays/s; fusing the whole field
+    # (fray-field 175.9k) or the proposals (fray-props 90.3k, sequential
+    # backward blocks) both LOSE, so those knobs stay off.
+    if hasattr(cfg.model, "fused_raymarch"):
+        cfg.model.fused_raymarch = True
     return cfg
 
 

@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nerfstudio_thermal_tpu.ops.pallas.kernel_precision import dot_precision
+
 
 def _freq_matrix(in_dim: int, num_freqs: int, min_exp: float, max_exp: float):
     """[in_dim, in_dim * F] selector: pre[n, d*F+k] = 2*pi*2^e_k * x[n, d].
@@ -49,7 +51,10 @@ def _encode(x_f32, freq_encoding, in_dim):
     """In-kernel NeRF frequency encoding: [sin(pre), cos(pre) (, x)]."""
     num_freqs, min_exp, max_exp, include_input = freq_encoding
     e = jnp.asarray(_freq_matrix(in_dim, num_freqs, min_exp, max_exp))
-    pre = jnp.dot(x_f32, e, preferred_element_type=jnp.float32)
+    pre = jnp.dot(
+        x_f32, e, preferred_element_type=jnp.float32,
+        precision=dot_precision(x_f32, e),
+    )
     parts = [jnp.sin(pre), jnp.cos(pre)]
     if include_input:
         parts.append(x_f32)
@@ -62,7 +67,10 @@ def _encode_bwd(x_f32, pre, d_enc, freq_encoding, in_dim):
     nf = in_dim * num_freqs
     e = jnp.asarray(_freq_matrix(in_dim, num_freqs, min_exp, max_exp))
     d_pre = d_enc[:, :nf] * jnp.cos(pre) - d_enc[:, nf : 2 * nf] * jnp.sin(pre)
-    dx = jnp.dot(d_pre, e.T, preferred_element_type=jnp.float32)
+    dx = jnp.dot(
+        d_pre, e.T, preferred_element_type=jnp.float32,
+        precision=dot_precision(d_pre, e),
+    )
     if include_input:
         dx = dx + d_enc[:, 2 * nf :]
     return dx
@@ -90,7 +98,10 @@ def _mlp_fwd_core(x0, w_refs, b_refs, num_layers, activation, out_activation, sk
         if li in skips and li != 0:
             h = jnp.concatenate([x0, h], axis=-1)
         h = (
-            jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                h, w_refs[li][:], preferred_element_type=jnp.float32,
+                precision=dot_precision(h, w_refs[li]),
+            )
             + b_refs[li][:].astype(jnp.float32)
         )
         if li < num_layers - 1:
@@ -112,7 +123,10 @@ def _mlp_fwd_save(x0, w_refs, b_refs, num_layers, activation, out_activation, sk
         if li in skips and li != 0:
             h = jnp.concatenate([x0, h], axis=-1)
         pre = (
-            jnp.dot(h, w_refs[li][:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                h, w_refs[li][:], preferred_element_type=jnp.float32,
+                precision=dot_precision(h, w_refs[li]),
+            )
             + b_refs[li][:].astype(jnp.float32)
         )
         if li < num_layers - 1:
@@ -155,9 +169,13 @@ def _mlp_bwd_from_saved(
         dw_refs[li][:] += jax.lax.dot_general(
             x_in, dhc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_precision(x_in, dhc),
         )
         db_refs[li][:] += jnp.sum(dh, axis=0, keepdims=True)
-        dh = jnp.dot(dhc, w_refs[li][:].T, preferred_element_type=jnp.float32)
+        dh = jnp.dot(
+            dhc, w_refs[li][:].T, preferred_element_type=jnp.float32,
+            precision=dot_precision(dhc, w_refs[li]),
+        )
         if li in skips and li != 0:
             # layer input was concat([x0, h_prev]); split the gradient
             dx_accum = dx_accum + dh[:, :in_dim]
@@ -457,8 +475,14 @@ def _posgen_fwd(o, d, t, num_samples):
     """o, d [r, 3] f32; t [r*S, 1] f32 -> (pos [r*S, 3], d_rep, rep)."""
     r = o.shape[0]
     rep = _rep_matrix(r * num_samples, r, num_samples)
-    o_rep = jnp.dot(rep, o, preferred_element_type=jnp.float32)
-    d_rep = jnp.dot(rep, d, preferred_element_type=jnp.float32)
+    o_rep = jnp.dot(
+        rep, o, preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, o),
+    )
+    d_rep = jnp.dot(
+        rep, d, preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, d),
+    )
     return o_rep + t * d_rep, d_rep, rep
 
 
@@ -555,10 +579,14 @@ def _ray_bwd_kernel(
     d_pos = _contract_bwd(dx, pos, sel, mag, safe)
     # pos = rep@o + t * (rep@d): transpose the selector matmuls back
     do_ref[:] = jax.lax.dot_general(
-        rep, d_pos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rep, d_pos, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, d_pos),
     )
     dd_ref[:] = jax.lax.dot_general(
-        rep, d_pos * t, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rep, d_pos * t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, d_pos),
     )
     dt_ref[:] = jnp.sum(d_pos * d_rep, axis=-1, keepdims=True)
 
@@ -845,11 +873,17 @@ def _field_fwd_block(
     )
     h = base_acts[-1]  # [blk, 1 + geo]
     sh = _sh4_2d(d)  # [blk_r, 16]
-    sh_rep = jnp.dot(rep, sh, preferred_element_type=jnp.float32).astype(cdt)
+    sh_rep = jnp.dot(
+        rep, sh, preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, sh),
+    ).astype(cdt)
     parts = [sh_rep, h[:, 1:]]
     if emb is not None:
         parts.append(
-            jnp.dot(rep, emb, preferred_element_type=jnp.float32).astype(cdt)
+            jnp.dot(
+                rep, emb, preferred_element_type=jnp.float32,
+                precision=dot_precision(rep, emb),
+            ).astype(cdt)
         )
     head_in = jnp.concatenate(parts, axis=1)
     head_acts, head_pre = _mlp_fwd_save(
@@ -952,16 +986,20 @@ def _field_bwd_kernel(
     dx = _encode_bwd(x, pre_enc, d_enc, freq_encoding, 3)
     d_pos = _contract_bwd(dx, pos, sel, mag, safe)
     do_ref[:] = jax.lax.dot_general(
-        rep, d_pos, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rep, d_pos, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, d_pos),
     )
     # d(dirs): posgen transpose + SH chain
     d_dirs = jax.lax.dot_general(
         rep, d_pos * t, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_precision(rep, d_pos),
     )
     d_sh = jax.lax.dot_general(
         rep, d_sh_rep.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_precision(rep),
     )
     dd_ref[:] = d_dirs + sh_vjp(d_sh)[0]
     dt_ref[:] = jnp.sum(d_pos * d_rep, axis=-1, keepdims=True)
@@ -969,6 +1007,7 @@ def _field_bwd_kernel(
         demb_ref[:] = jax.lax.dot_general(
             rep, d_headin[:, 16 + geo :].astype(jnp.float32),
             (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=dot_precision(rep),
         )
 
 

@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from nerfstudio_thermal_tpu.ops.pallas.kernel_precision import dot_precision
 from jax.experimental.pallas import tpu as pltpu
 
 # Instant-NGP spatial-hash primes (reference encodings.py:412).
@@ -113,6 +115,7 @@ def _fwd_kernel(scaling_ref, pos_ref, table_ref, out_ref):
         a,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_precision(a),
     )
     out_ref[...] = out[None].astype(out_ref.dtype)
 
@@ -134,6 +137,7 @@ def _bwd_table_kernel(scaling_ref, pos_ref, g_ref, dtable_ref):
         a,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=dot_precision(a),
     )  # [F, T]
     dtable_ref[...] += contrib
 
@@ -165,6 +169,7 @@ def _bwd_pos_kernel(scaling_ref, pos_ref, table_ref, g_ref, dpos_ref):
             b,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=dot_precision(table, b),
         )  # [F, n]
         g_dot_feat = jnp.sum(g * feat, axis=0, keepdims=True)  # [1, n]
         ws = [wc[d] if bits[d] else wf[d] for d in range(3)]

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from nerfstudio_thermal_tpu.ops.pallas.kernel_precision import dot_precision
 from jax.experimental.pallas import tpu as pltpu
 
 # Instant-NGP spatial-hash primes (reference encodings.py:412).
@@ -150,11 +152,13 @@ def _bwd_table_kernel(scaling_ref, pos_ref, g_ref, dtab_ref, *, table_size):
                 a_oh, gw0,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(a_oh, gw0),
             )
             dtab_ref[0, 1, sl, :] += jax.lax.dot_general(
                 a_oh, gw1,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=dot_precision(a_oh, gw1),
             )
 
 

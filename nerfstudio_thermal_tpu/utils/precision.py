@@ -19,8 +19,17 @@ import jax
 
 
 def ensure_exact_f32_matmuls() -> None:
+    """Pin the default f32 matmul precision (see module docstring).
+
+    $NS_F32_PRECISION overrides the level for A/Bs: "highest" (6-pass MXU,
+    bit-exact f32) is the default; "high" (bfloat16_3x) is already EXACT for
+    every matmul where one operand is exactly bf16-representable — the
+    one-hot gathers/broadcasts and tril prefix-sum masks that motivated the
+    pin — and ~2^-18 relative elsewhere (pose rotations), at half the MXU
+    passes; "default" restores the single-pass bf16 rounding."""
     apply_platform_env()
-    jax.config.update("jax_default_matmul_precision", "highest")
+    level = os.environ.get("NS_F32_PRECISION", "highest")
+    jax.config.update("jax_default_matmul_precision", level)
 
 
 def apply_platform_env() -> None:

@@ -45,21 +45,21 @@ def _fake_child(values, timeouts=(), failures=()):
 
 def test_winner_selection_and_fail_soft(bench, monkeypatch, capsys):
     vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
-    vals["fray-props"] = 222222.0
+    vals["no-fray"] = 222222.0
     monkeypatch.setattr(
         bench, "_run_child", _fake_child(vals, failures={"fray-field"})
     )
     line = bench._autotune_flagship("m", "train_rays_per_sec", 5)
     d = json.loads(line)
     assert d["value"] == 222222.0
-    assert "winner=fray-props" in d["note"]
+    assert "winner=no-fray" in d["note"]
     assert "fray-field" not in d["note"].split("[")[1]  # failed candidate absent
 
 
 def test_candidate_timeout_skips_rest(bench, monkeypatch):
     vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
     tried = []
-    inner = _fake_child(vals, timeouts={"fray-base"})
+    inner = _fake_child(vals, timeouts={"no-fray"})
 
     def spy(cmd, env=None, timeout=600):
         if "--candidate" in cmd:
@@ -68,7 +68,7 @@ def test_candidate_timeout_skips_rest(bench, monkeypatch):
 
     monkeypatch.setattr(bench, "_run_child", spy)
     line = bench._autotune_flagship("m", "train_rays_per_sec", 5)
-    assert tried == ["default", "fray-base"]  # timeout stops the sweep
+    assert tried == ["default", "no-fray"]  # timeout stops the sweep
     assert json.loads(line)["value"] == 100000.0
 
 
@@ -105,4 +105,19 @@ def test_child_runner_terminates_on_timeout(bench):
     with pytest.raises(subprocess.TimeoutExpired):
         bench._run_child(
             [sys.executable, "-c", "import time; time.sleep(60)"], timeout=1
+        )
+
+
+def test_child_runner_surfaces_crash_stderr(bench):
+    """A crashed child (no JSON on stdout) must raise with its stderr tail —
+    the r3 Mosaic bf16-precision crash was invisible until this existed."""
+    import sys
+
+    with pytest.raises(RuntimeError, match="KeyError.*mosaic-ish"):
+        bench._run_child(
+            [
+                sys.executable, "-c",
+                "import sys; print('not json'); raise KeyError('mosaic-ish')",
+            ],
+            timeout=30,
         )
