@@ -41,7 +41,11 @@ def _coerce(value: str, typ) -> Any:
     origin = get_origin(typ)
     if origin is not None:
         if origin in (list, tuple):
-            parts = [p for p in value.replace(",", " ").split() if p]
+            # accept "32,24", "32 24", "(32, 24)" and "[32, 24]" alike
+            stripped = value.strip()
+            if stripped[:1] in "([" and stripped[-1:] in ")]":
+                stripped = stripped[1:-1]
+            parts = [p for p in stripped.replace(",", " ").split() if p]
             inner = get_args(typ)[0] if get_args(typ) else str
             seq = [_coerce(p, inner) for p in parts]
             return tuple(seq) if origin is tuple else seq

@@ -37,6 +37,7 @@ import numpy as np
 
 from nerfstudio_thermal_tpu.cameras.cameras import Cameras
 from nerfstudio_thermal_tpu.models.base_model import Model, ModelConfig
+from nerfstudio_thermal_tpu.ops.splat_compose import composite_chunks
 from nerfstudio_thermal_tpu.utils.math import psnr, ssim
 
 
@@ -242,37 +243,10 @@ def rasterize(
         deps.reshape(n_chunks, chunk),
     )
 
-    def body(carry, ch):
-        rgb_acc, dep_acc, trans = carry
-        cxys, cconic, crad, copa, ccol, cdep = ch
-        d = pix[:, None, :] - cxys[None, :, :]  # [P, C, 2]
-        power = -0.5 * (
-            cconic[None, :, 0] * d[..., 0] ** 2
-            + cconic[None, :, 2] * d[..., 1] ** 2
-        ) - cconic[None, :, 1] * d[..., 0] * d[..., 1]
-        alpha = jnp.minimum(
-            0.999, copa[None, :] * jnp.exp(jnp.minimum(power, 0.0))
-        )
-        alpha = jnp.where((crad > 0)[None, :], alpha, 0.0)
-        alpha = jnp.where(alpha > 1.0 / 255.0, alpha, 0.0)
-        one_minus = 1.0 - alpha  # [P, C]
-        # exclusive in-chunk transmittance
-        t_in = jnp.cumprod(
-            jnp.concatenate([jnp.ones_like(one_minus[:, :1]), one_minus[:, :-1]], 1),
-            axis=1,
-        )
-        w = trans[:, None] * t_in * alpha  # [P, C]
-        rgb_acc = rgb_acc + w @ ccol
-        dep_acc = dep_acc + w @ cdep[:, None]
-        trans = trans * jnp.prod(one_minus, axis=1)
-        return (rgb_acc, dep_acc, trans), None
-
-    init = (
-        jnp.zeros((P, colors.shape[-1])),
-        jnp.zeros((P, 1)),
-        jnp.ones((P,)),
-    )
-    (rgb, dep, trans), _ = jax.lax.scan(body, init, chunks)
+    # O(P)-residual custom-VJP compositor: autodiff of the naive scan
+    # stores a [n_chunks, P, chunk] alpha residual (123 GB at 100k
+    # gaussians x 480x640) — see ops/splat_compose.py.
+    rgb, dep, trans = composite_chunks(pix, *chunks)
     accum = 1.0 - trans
     rgb = rgb + trans[:, None] * background[None, :]
     dep = dep / jnp.maximum(accum[:, None], 1e-10)
