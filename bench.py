@@ -17,14 +17,38 @@ rays/s of tcnn-backed nerfacto-class models on a single A100.
 
 import functools
 import json
+import os
 import time
 
 import numpy as np
 
 A100_BASELINE_RAYS_PER_SEC = 200_000.0
 
+# Hard wall-clock budget for the whole bench (the driver's own timeout killed
+# round 3 at rc=124 with no flagship line; everything here is scheduled
+# against this deadline and the flagship line is printed from a finally).
+_BUDGET_S = float(os.environ.get("NS_BENCH_BUDGET", 460))
+_START = time.monotonic()
 
-def build_setup(method_name: str, overrides=None):
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _START)
+
+
+# Persistent XLA compilation cache: verified to work through the axon
+# remote-compile tunnel (cold 3.3 s -> warm 0.7 s on a 12-layer probe).
+# Warmed by any earlier in-session run of the same program, it turns the
+# ~3 min candidate compiles into seconds for the driver's end-of-round run.
+_PCC_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_pcc")
+
+
+def _child_env(extra=None):
+    env = {**os.environ, "JAX_COMPILATION_CACHE_DIR": _PCC_DIR}
+    env.update(extra or {})
+    return env
+
+
+def build_setup(method_name: str, overrides=None, cameras=None, is_thermal=None):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +63,7 @@ def build_setup(method_name: str, overrides=None):
     from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
 
     num_rays = 8192
-    num_cameras = 64
+    num_cameras = 64 if cameras is None else int(cameras.fx.shape[0])
     h, w = 480, 640
 
     parity_workload = method_name.endswith("@parity")
@@ -57,27 +81,31 @@ def build_setup(method_name: str, overrides=None):
     for k, v in (overrides or {}).items():
         setattr(cfg, k, v)
     aabb = np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32)
-    is_thermal = [i % 2 for i in range(num_cameras)]
+    if is_thermal is None:
+        is_thermal = [i % 2 for i in range(num_cameras)]
     model = ThermalNerfactoModel(
         cfg, aabb, num_train_data=num_cameras, metadata={"is_thermal": is_thermal}
     )
     params = model.init_params(jax.random.PRNGKey(0))
 
-    angles = np.linspace(0, 2 * np.pi, num_cameras, endpoint=False)
-    c2w = np.tile(np.eye(4, dtype=np.float32)[:3], (num_cameras, 1, 1))
-    c2w[:, 0, 3] = 2.0 * np.cos(angles)
-    c2w[:, 1, 3] = 2.0 * np.sin(angles)
-    cameras = Cameras(
-        camera_to_worlds=jnp.asarray(c2w),
-        fx=jnp.full((num_cameras,), 500.0),
-        fy=jnp.full((num_cameras,), 500.0),
-        cx=jnp.full((num_cameras,), w / 2),
-        cy=jnp.full((num_cameras,), h / 2),
-        width=jnp.full((num_cameras,), w, jnp.int32),
-        height=jnp.full((num_cameras,), h, jnp.int32),
-        distortion_params=jnp.zeros((num_cameras, 6)),
-        camera_type=jnp.full((num_cameras,), CameraType.PERSPECTIVE.value, jnp.int32),
-    )
+    if cameras is None:
+        angles = np.linspace(0, 2 * np.pi, num_cameras, endpoint=False)
+        c2w = np.tile(np.eye(4, dtype=np.float32)[:3], (num_cameras, 1, 1))
+        c2w[:, 0, 3] = 2.0 * np.cos(angles)
+        c2w[:, 1, 3] = 2.0 * np.sin(angles)
+        cameras = Cameras(
+            camera_to_worlds=jnp.asarray(c2w),
+            fx=jnp.full((num_cameras,), 500.0),
+            fy=jnp.full((num_cameras,), 500.0),
+            cx=jnp.full((num_cameras,), w / 2),
+            cy=jnp.full((num_cameras,), h / 2),
+            width=jnp.full((num_cameras,), w, jnp.int32),
+            height=jnp.full((num_cameras,), h, jnp.int32),
+            distortion_params=jnp.zeros((num_cameras, 6)),
+            camera_type=jnp.full(
+                (num_cameras,), CameraType.PERSPECTIVE.value, jnp.int32
+            ),
+        )
     ray_generator = RayGenerator(cameras)
     tx = build_optimizer(method.optimizers, params)
     opt_state = tx.init(params)
@@ -206,20 +234,17 @@ def _run_child(cmd, env=None, timeout=600) -> str:
     return out
 
 
-# Flagship fused-ray-march candidates. The kernels (ops/pallas/fused_mlp.py:
+# Flagship fused-ray-march candidates, ROBUST FIRST: the shipped flagship
+# default is the plain (fused_raymarch=False) config — it is the config that
+# always completed under the driver while the fused program twice timed out
+# compiling (BENCH_r03 rc=124). The fused kernels (ops/pallas/fused_mlp.py:
 # fused_ray_mlp / fused_field_mlp) are equivalence-tested but each knob's
 # end-to-end win on a live v5e depends on how the custom-calls interact with
-# XLA's surrounding fusions (the isolated color-head fusion famously won
-# alone and lost in-step, CLAUDE.md). The bench therefore measures each
-# candidate fail-soft and ships the fastest as the flagship line.
+# XLA's surrounding fusions, so the bench measures each candidate fail-soft
+# and upgrades the flagship line only on success.
 _FLAGSHIP_CANDIDATES = [
-    # the shipped flagship now has fused_raymarch=True (base field only) —
-    # r3 measured winner: 180.9k vs 178.0k (off) vs 175.9k (whole-field
-    # megakernel). Fused PROPOSALS measured a 2x loss (90.3k, and 89.9k
-    # with a 64 MB backward budget): sequential backward blocks — dropped
-    # from the sweep to keep the driver's bench round short.
     ("default", {}),
-    ("no-fray", {"fused_raymarch": False}),
+    ("fray-base", {"fused_raymarch": True}),  # r3: 180.9k vs 178.0k off
     ("fray-field", {"fused_raymarch": True, "fused_field": True}),
 ]
 
@@ -227,50 +252,26 @@ _FLAGSHIP_CANDIDATES = [
 _CANDIDATE_ENV = {}
 
 
-def run_flagship_autotuned(method_name: str, metric: str, n_steps: int) -> None:
-    print(_autotune_flagship(method_name, metric, n_steps), flush=True)
-
-
-def _autotune_flagship(method_name: str, metric: str, n_steps: int) -> str:
-    """Measure each fused-kernel candidate in its own subprocess (a hard
-    timeout kills a candidate wedged inside a C-level TPU sync, which an
-    in-process SIGALRM cannot interrupt) and return the winner's JSON line
-    (the caller prints it LAST — the driver parses the final line)."""
-    import os
+def _probe_device(timeout: float = 30.0) -> bool:
+    """Tiny-matmul child: is the TPU actually reachable right now? A single
+    candidate timeout must NOT be read as a dead device (r3's breakout
+    heuristic was disproven within its own run)."""
     import subprocess
     import sys
 
-    results = {}
-    for name, _ in _FLAGSHIP_CANDIDATES:
-        try:
-            out = _run_child(
-                [
-                    sys.executable, __file__, "--candidate", name,
-                    "--method", method_name, "--steps", str(n_steps),
-                ],
-                env={**os.environ, **_CANDIDATE_ENV.get(name, {})},
-                timeout=600,
-            )
-            line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
-            results[name] = json.loads(line)["value"]
-        except subprocess.TimeoutExpired:
-            # a killed mid-sync TPU child can wedge the tunnel (CLAUDE.md);
-            # don't burn the remaining candidates against a dead device
-            print(f"# candidate {name} timed out; skipping the rest", flush=True)
-            break
-        except Exception as e:  # noqa: BLE001 — candidate must not kill bench
-            print(f"# candidate {name} failed: {type(e).__name__}: {e}", flush=True)
-        if name == "default" and "default" not in results:
-            break  # baseline candidate dead — device presumed unusable
-    if not results:
-        raise RuntimeError("no flagship candidate completed (device wedged?)")
-    winner = max(results, key=results.get)
-    cand_note = " ".join(f"{k}={v/1e3:.1f}k" for k, v in results.items())
-    return _format(
-        metric, results[winner], method_name,
-        note=f"autotuned fused-raymarch winner={winner} [{cand_note}]; "
-        "r2 176k -> r3 MXU one-hot gathers/tril-cumsum + fused-ray-march autotune",
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128), jnp.float32);"
+        "print(float((x @ x).sum()))"
     )
+    try:
+        subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout, check=True, capture_output=True,
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def _measure_eval_1080p(method_name: str, overrides=None) -> tuple:
@@ -316,41 +317,48 @@ def _measure_eval_1080p(method_name: str, overrides=None) -> tuple:
 # Forward-only candidates for the eval render: the fused ray-march kernels'
 # only measured downside is the sequential backward, which eval never runs.
 _EVAL_CANDIDATES = [
-    ("default", {}),  # flagship ships fused_raymarch=True
-    ("no-fray", {"fused_raymarch": False}),
+    ("default", {}),  # flagship ships fused_raymarch=False (robust)
+    ("fray-base", {"fused_raymarch": True}),
 ]
 
 
 def run_eval_1080p(method_name: str) -> None:
     """TEST_RAYS_PER_SEC / fps at 1920x1080 (reference engine/trainer.py:519-526,
     BASELINE.md north star: real-time 1080p rendering; vs_baseline = fps/30).
-    Autotuned over forward-path candidates, each in a watchdogged
-    subprocess."""
+    Autotuned over forward-path candidates, each in a watchdogged subprocess,
+    each gated on the remaining deadline budget."""
     import subprocess
     import sys
 
     results = {}
-    for name, _ in _EVAL_CANDIDATES:
+    for i, (name, _) in enumerate(_EVAL_CANDIDATES):
+        cap = min(180.0 if i == 0 else 120.0, _remaining() - 20.0)
+        if cap < 45.0:
+            print(f"# eval candidate {name} skipped ({_remaining():.0f}s left)",
+                  flush=True)
+            break
         try:
             out = _run_child(
                 [
                     sys.executable, __file__, "--eval-candidate", name,
                     "--method", method_name,
                 ],
-                timeout=420,
+                env=_child_env(),
+                timeout=cap,
             )
             line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
             d = json.loads(line)
             results[name] = (d["value"], d["fps"])
         except subprocess.TimeoutExpired:
-            print(f"# eval candidate {name} timed out; skipping the rest",
+            print(f"# eval candidate {name} timed out after {cap:.0f}s",
                   flush=True)
-            break
+            if not _probe_device():
+                print("# device probe failed; stopping eval candidates",
+                      flush=True)
+                break
         except Exception as e:  # noqa: BLE001
             print(f"# eval candidate {name} failed: {type(e).__name__}: {e}",
                   flush=True)
-        if name == "default" and "default" not in results:
-            break
     if not results:
         raise RuntimeError("no eval candidate completed")
     winner = max(results, key=lambda k: results[k][0])
@@ -399,9 +407,67 @@ def _eval_candidate_main(argv):
     )
 
 
+def _measure_datapath(method_name: str, n_steps: int = 30) -> float:
+    """Steady-state train rays/s pulling batches through the REAL host data
+    pipeline — PrefetchingDataManager worker thread + pixel sampler (C++
+    native fast path when buildable) + per-step host->device transfer +
+    in-jit ray generation — instead of 8 canned device-resident batches.
+    Quantifies the host overhead the flagship row excludes (reference
+    analogue: ParallelDataManager, parallel_datamanager.py:65-130)."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerfstudio_thermal_tpu.configs.dataparser_configs import build_dataparser
+    from nerfstudio_thermal_tpu.data.datamanagers import (
+        PrefetchingDataManager,
+        VanillaDataManagerConfig,
+    )
+    from nerfstudio_thermal_tpu.data.dataparsers.nerfstudio_dataparser import (
+        ThermalNerfDataParserConfig,
+    )
+    from tests.fixtures import make_synthetic_rgbt_dataset
+
+    with tempfile.TemporaryDirectory() as tmp:
+        data = make_synthetic_rgbt_dataset(
+            Path(tmp) / "d", num_pairs=32, rgb_hw=(480, 640), t_hw=(480, 640)
+        )
+        dm = PrefetchingDataManager(
+            VanillaDataManagerConfig(
+                train_num_rays_per_batch=8192, patch_size=2
+            ),
+            build_dataparser(
+                ThermalNerfDataParserConfig(data=data, train_split_fraction=1.0)
+            ),
+        )
+        try:
+            is_thermal = [int(v) for v in dm.train_dataset.is_thermal]
+            train_step, params, opt_state, _, num_rays = build_setup(
+                method_name, cameras=dm.train_cameras, is_thermal=is_thermal
+            )
+            key = jax.random.PRNGKey(1)
+            for i in range(3):  # compile + warm the prefetch queue
+                key, sub = jax.random.split(key)
+                batch = {k: jnp.asarray(v) for k, v in dm.next_train(i).items()}
+                params, opt_state, loss = train_step(params, opt_state, sub, batch)
+            float(loss)
+            t0 = time.perf_counter()
+            for i in range(3, 3 + n_steps):
+                key, sub = jax.random.split(key)
+                batch = {k: jnp.asarray(v) for k, v in dm.next_train(i).items()}
+                params, opt_state, loss = train_step(params, opt_state, sub, batch)
+            float(loss)
+            dt = time.perf_counter() - t0
+            return num_rays * n_steps / dt
+        finally:
+            dm.close()
+
+
 def _row_main(argv):
     """Child-process entry for the non-final bench rows (hash parity /
-    parity workload): prints its own JSON line(s)."""
+    parity workload / real-data-path): prints its own JSON line(s)."""
     import os
     import traceback
 
@@ -419,8 +485,63 @@ def _row_main(argv):
         # full-rate regularizers) — the apples-to-apples throughput row
         run("thermal-nerfacto-tpu@parity",
             "train_rays_per_sec_parity_workload", n_steps=10)
+    elif row == "datapath":
+        value = _measure_datapath("thermal-nerfacto-tpu")
+        _emit(
+            "train_rays_per_sec_datapath", value, "thermal-nerfacto-tpu",
+            note="real host pipeline: PrefetchingDataManager + pixel sampler "
+            "+ per-step H2D transfer + in-jit ray generation (vs the canned-"
+            "batch flagship row)",
+        )
     else:
         raise ValueError(f"unknown row {row}")
+
+
+def _run_flagship_candidates(method_name: str, metric: str, n_steps: int):
+    """Measure the flagship candidates robust-first, each in its own
+    watchdogged subprocess, each gated on the remaining budget. Returns the
+    best-so-far JSON line (or None) — NEVER raises."""
+    import subprocess
+    import sys
+
+    results = {}
+    for i, (name, _) in enumerate(_FLAGSHIP_CANDIDATES):
+        # the robust default gets the lion's share (measured 186 s cold on
+        # v5e, seconds when the persistent compile cache is warm); the fused
+        # candidates only run with ample budget left
+        cap = min(280.0 if i == 0 else 150.0, _remaining() - 30.0)
+        if cap < (60.0 if i == 0 else 90.0):
+            print(f"# candidate {name} skipped ({_remaining():.0f}s left)",
+                  flush=True)
+            break
+        try:
+            out = _run_child(
+                [
+                    sys.executable, __file__, "--candidate", name,
+                    "--method", method_name, "--steps", str(n_steps),
+                ],
+                env=_child_env(_CANDIDATE_ENV.get(name, {})),
+                timeout=cap,
+            )
+            line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+            results[name] = json.loads(line)["value"]
+        except subprocess.TimeoutExpired:
+            print(f"# candidate {name} timed out after {cap:.0f}s", flush=True)
+            # never conclude "device dead" from one candidate timeout: probe
+            if not _probe_device():
+                print("# device probe failed; stopping candidates", flush=True)
+                break
+        except Exception as e:  # noqa: BLE001 — candidate must not kill bench
+            print(f"# candidate {name} failed: {type(e).__name__}: {e}",
+                  flush=True)
+    if not results:
+        return None
+    winner = max(results, key=results.get)
+    cand_note = " ".join(f"{k}={v/1e3:.1f}k" for k, v in results.items())
+    return _format(
+        metric, results[winner], method_name,
+        note=f"autotuned fused-raymarch winner={winner} [{cand_note}]",
+    )
 
 
 def main():
@@ -429,45 +550,55 @@ def main():
     import traceback
 
     # The driver parses the LAST line, so the flagship number is measured
-    # FIRST (while the device is freshest) but printed last; every other
-    # row runs in a timeout-capped subprocess so nothing can hang between
-    # the measurement and that final print.
+    # FIRST (robust candidate, biggest budget share) and printed LAST from a
+    # finally — a driver kill mid-run still leaves the flagship line in
+    # position. Every measurement runs in a timeout-capped subprocess so
+    # nothing can hang between a measurement and that final print, and all
+    # caps are scheduled against the _BUDGET_S deadline.
     flagship_line = None
-    timed_out = False
     try:
-        flagship_line = _autotune_flagship(
+        flagship_line = _run_flagship_candidates(
             "thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30
         )
-    except Exception:
-        traceback.print_exc()
 
-    for row, timeout in (("hash", 900), ("parity", 600)):
-        if timed_out:
-            break
-        try:
-            out = _run_child(
-                [sys.executable, __file__, "--row", row], timeout=timeout
-            )
-            for ln in out.splitlines():
-                if ln.startswith("{"):
-                    print(ln, flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"# row {row} timed out; skipping remaining rows", flush=True)
-            timed_out = True
-        except Exception:
-            traceback.print_exc()
-    if not timed_out:
-        try:
-            run_eval_1080p("thermal-nerfacto-tpu")  # already child-per-candidate
-        except Exception:
-            traceback.print_exc()
+        # secondary rows, priority order (parity and the 1080p capture are
+        # VERDICT r3 done-criteria), each gated on remaining budget
+        def _row(row, cap_s, floor_s):
+            cap = min(cap_s, _remaining() - 25.0)
+            if cap < floor_s:
+                print(f"# row {row} skipped ({_remaining():.0f}s left)",
+                      flush=True)
+                return
+            try:
+                out = _run_child(
+                    [sys.executable, __file__, "--row", row],
+                    env=_child_env(), timeout=cap,
+                )
+                for ln in out.splitlines():
+                    if ln.startswith("{"):
+                        print(ln, flush=True)
+            except subprocess.TimeoutExpired:
+                print(f"# row {row} timed out after {cap:.0f}s", flush=True)
+                if not _probe_device():
+                    print("# device probe failed", flush=True)
+            except Exception:
+                traceback.print_exc()
 
-    if flagship_line is not None:
-        print(flagship_line, flush=True)
-    elif not timed_out:
-        # autotune machinery failed but the device looks alive: last-resort
-        # in-process measurement so the driver still gets a flagship line
-        run("thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30)
+        _row("parity", 170.0, 50.0)
+        if _remaining() > 70.0:
+            try:
+                run_eval_1080p("thermal-nerfacto-tpu")
+            except Exception:
+                traceback.print_exc()
+        else:
+            print(f"# eval row skipped ({_remaining():.0f}s left)", flush=True)
+        _row("hash", 90.0, 40.0)
+        _row("datapath", 90.0, 40.0)
+    finally:
+        if flagship_line is not None:
+            print(flagship_line, flush=True)
+        else:
+            print("# no flagship candidate completed", flush=True)
 
 
 if __name__ == "__main__":

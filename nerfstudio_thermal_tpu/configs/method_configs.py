@@ -191,13 +191,18 @@ def _tpu_variant(base: MethodConfig, name: str) -> MethodConfig:
     # reference constants.
     cfg.model.num_proposal_samples_per_ray = (128, 48)
     cfg.model.num_nerf_samples_per_ray = 32
-    # Fused ray-march on the BASE field only (posgen + contraction + freq
-    # encoding inside the Pallas MLP kernel): measured r3 autotune on v5e —
-    # fray-base 180.9k vs default 178.0k rays/s; fusing the whole field
-    # (fray-field 175.9k) or the proposals (fray-props 90.3k, sequential
-    # backward blocks) both LOSE, so those knobs stay off.
+    # Fused ray-march (posgen + contraction + freq encoding inside the
+    # Pallas MLP kernel) ships OFF: its r3-measured upside was 1.6%
+    # (fray-base 180.9k vs 178.0k off), but the fused program was the
+    # candidate that twice timed out compiling under the driver's bench
+    # budget (BENCH_r03 rc=124) while the plain config completed — a 1.6%
+    # win doesn't buy a fragile default. bench.py still autotunes over the
+    # fused candidates and ships the fastest line, so any on-device win is
+    # captured without making it the first-compile path. Whole-field
+    # (175.9k) and fused-proposal (90.3k, sequential backward) variants
+    # also measured slower, so all three knobs stay off.
     if hasattr(cfg.model, "fused_raymarch"):
-        cfg.model.fused_raymarch = True
+        cfg.model.fused_raymarch = False
     return cfg
 
 

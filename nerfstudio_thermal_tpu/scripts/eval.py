@@ -39,10 +39,13 @@ def main(argv=None) -> int:
 
     config, trainer, params = eval_setup(load_config)
     metrics = trainer.pipeline.get_average_eval_image_metrics(params)
+    from nerfstudio_thermal_tpu.utils.lpips import lpips_provenance
+
     out = {
         "experiment_name": config.trainer.experiment_name,
         "method_name": config.method_name,
         "checkpoint": str(config.trainer.load_dir),
+        "lpips_provenance": lpips_provenance(),
         "results": metrics,
     }
     output_path.parent.mkdir(parents=True, exist_ok=True)

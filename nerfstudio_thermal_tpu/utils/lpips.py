@@ -6,11 +6,19 @@ computation: VGG16 features at relu1_2/2_2/3_3/4_3/5_3, unit-normalized per
 channel, squared differences reduced by learned linear weights, averaged over
 space and layers.
 
-Pretrained weights cannot be downloaded in a zero-egress environment; provide
-them as an .npz via $NS_LPIPS_WEIGHTS (keys: conv{i}_kernel/conv{i}_bias for
-the 13 VGG convs in order, lin{k}_weight for the 5 LPIPS heads). When absent,
-`lpips_available()` is False and eval simply omits lpips metrics (psnr/ssim
-are always reported).
+Weight resolution (first hit wins):
+  1. $NS_LPIPS_WEIGHTS .npz (keys: conv{i}_kernel/conv{i}_bias for the 13 VGG
+     convs in order, lin{k}_weight for the 5 LPIPS heads),
+  2. an npz vendored in-package or in ~/.nerfstudio,
+  3. on-the-fly conversion from a locally present torchvision VGG16
+     checkpoint (tools/convert_lpips_weights.py),
+  4. deterministic seeded He-initialized VGG16 with uniform heads — the
+     "untrained LPIPS" variant (random-feature perceptual distances correlate
+     well with trained ones; Zhang et al. 2018 §5 report this for random
+     AlexNet). Tier 4 keeps lpips default-on in zero-egress images; its
+     provenance is surfaced via `lpips_provenance()` and recorded in the
+     ns-eval JSON so untrained values are never mistaken for torchmetrics
+     parity. Set NS_LPIPS=0 to disable lpips entirely.
 """
 
 import os
@@ -84,13 +92,65 @@ def _weights_path() -> Optional[Path]:
     return None
 
 
+def _enabled() -> bool:
+    return os.environ.get("NS_LPIPS", "1").lower() not in ("0", "off", "false")
+
+
 def lpips_available() -> bool:
-    return _weights_path() is not None
+    """True unless explicitly disabled (NS_LPIPS=0): with no pretrained
+    weights findable, the seeded untrained tier still serves the metric."""
+    return _enabled()
+
+
+def lpips_provenance() -> Optional[str]:
+    """Where the active weights come from — recorded in the ns-eval JSON."""
+    if not _enabled():
+        return None
+    path = _weights_path()
+    if path is not None:
+        return f"weights:{path}"
+    return "untrained-seeded(vgg16-he, seed 0, uniform heads)"
+
+
+@lru_cache(maxsize=1)
+def _seeded_weights():
+    """Tier-4 fallback: deterministic He-initialized VGG16 convs + uniform
+    non-negative linear heads (1/C so the head equals a channel mean)."""
+    rng = np.random.default_rng(0)
+    convs = []
+    in_ch = 3
+    for out_ch, _ in _VGG16_PLAN:
+        fan_in = 3 * 3 * in_ch
+        k = rng.normal(size=(3, 3, in_ch, out_ch)).astype(np.float32)
+        k *= np.sqrt(2.0 / fan_in)
+        convs.append((jnp.asarray(k), jnp.zeros((out_ch,), jnp.float32)))
+        in_ch = out_ch
+    lins = [
+        jnp.full((_VGG16_PLAN[i][0],), 1.0 / _VGG16_PLAN[i][0], jnp.float32)
+        for i in _FEATURE_LAYERS
+    ]
+    return convs, lins
+
+
+_warned_untrained = False
 
 
 @lru_cache(maxsize=1)
 def _load_weights():
     path = _weights_path()
+    if path is None:
+        global _warned_untrained
+        if not _warned_untrained:
+            _warned_untrained = True
+            import sys
+
+            print(
+                "[lpips] no pretrained weights found; using the deterministic "
+                "untrained-VGG16 variant (set NS_LPIPS_WEIGHTS for "
+                "torchmetrics-parity values, NS_LPIPS=0 to disable)",
+                file=sys.stderr,
+            )
+        return _seeded_weights()
     data = np.load(path)
     convs = []
     for i in range(13):

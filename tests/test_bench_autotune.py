@@ -13,8 +13,13 @@ import pytest
 
 @pytest.fixture()
 def bench(monkeypatch):
+    import time
+
     import bench as b
 
+    # the deadline clock starts at module import; reset it per-test so a
+    # long pytest session doesn't land here with the budget already spent
+    monkeypatch.setattr(b, "_START", time.monotonic())
     return b
 
 
@@ -45,21 +50,24 @@ def _fake_child(values, timeouts=(), failures=()):
 
 def test_winner_selection_and_fail_soft(bench, monkeypatch, capsys):
     vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
-    vals["no-fray"] = 222222.0
+    vals["fray-base"] = 222222.0
     monkeypatch.setattr(
         bench, "_run_child", _fake_child(vals, failures={"fray-field"})
     )
-    line = bench._autotune_flagship("m", "train_rays_per_sec", 5)
+    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
     d = json.loads(line)
     assert d["value"] == 222222.0
-    assert "winner=no-fray" in d["note"]
+    assert "winner=fray-base" in d["note"]
     assert "fray-field" not in d["note"].split("[")[1]  # failed candidate absent
 
 
-def test_candidate_timeout_skips_rest(bench, monkeypatch):
+def test_candidate_timeout_probes_then_continues(bench, monkeypatch):
+    """A fused-candidate timeout must NOT kill the sweep when the device
+    probe says the TPU is alive (r3's break-on-timeout heuristic was
+    disproven within its own run)."""
     vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
     tried = []
-    inner = _fake_child(vals, timeouts={"no-fray"})
+    inner = _fake_child(vals, timeouts={"fray-base"})
 
     def spy(cmd, env=None, timeout=600):
         if "--candidate" in cmd:
@@ -67,9 +75,52 @@ def test_candidate_timeout_skips_rest(bench, monkeypatch):
         return inner(cmd, env, timeout)
 
     monkeypatch.setattr(bench, "_run_child", spy)
-    line = bench._autotune_flagship("m", "train_rays_per_sec", 5)
-    assert tried == ["default", "no-fray"]  # timeout stops the sweep
+    monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: True)
+    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    assert tried == ["default", "fray-base", "fray-field"]
     assert json.loads(line)["value"] == 100000.0
+
+
+def test_candidate_timeout_dead_device_stops_sweep(bench, monkeypatch):
+    vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+    tried = []
+    inner = _fake_child(vals, timeouts={"fray-base"})
+
+    def spy(cmd, env=None, timeout=600):
+        if "--candidate" in cmd:
+            tried.append(cmd[cmd.index("--candidate") + 1])
+        return inner(cmd, env, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", spy)
+    monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: False)
+    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    assert tried == ["default", "fray-base"]  # dead probe stops the sweep
+    assert json.loads(line)["value"] == 100000.0  # default still wins
+
+
+def test_no_candidate_completed_returns_none(bench, monkeypatch):
+    monkeypatch.setattr(
+        bench, "_run_child",
+        _fake_child({}, failures={n for n, _ in bench._FLAGSHIP_CANDIDATES}),
+    )
+    assert bench._run_flagship_candidates("m", "train_rays_per_sec", 5) is None
+
+
+def test_budget_exhaustion_skips_candidates(bench, monkeypatch):
+    """Once the deadline is near, remaining candidates are skipped — the
+    scheduler must never start a child it cannot afford to wait for."""
+    tried = []
+    vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+
+    def spy(cmd, env=None, timeout=600):
+        if "--candidate" in cmd:
+            tried.append(cmd[cmd.index("--candidate") + 1])
+        return _fake_child(vals)(cmd, env, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", spy)
+    monkeypatch.setattr(bench, "_remaining", lambda: 25.0)
+    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    assert tried == [] and line is None
 
 
 def test_main_prints_flagship_last(bench, monkeypatch, capsys):
@@ -84,7 +135,9 @@ def test_main_prints_flagship_last(bench, monkeypatch, capsys):
     assert lines[-1]["metric"] == "train_rays_per_sec"
     assert lines[-1]["value"] == 150000.0
     # the other rows came before it
-    assert {l["metric"] for l in lines[:-1]} >= {"row_hash", "row_parity"}
+    assert {l["metric"] for l in lines[:-1]} >= {
+        "row_hash", "row_parity", "row_datapath", "test_rays_per_sec_1080p"
+    }
 
 
 def test_main_row_timeout_still_prints_flagship(bench, monkeypatch, capsys):
@@ -92,6 +145,7 @@ def test_main_row_timeout_still_prints_flagship(bench, monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "_run_child", _fake_child(vals, timeouts={"hash"})
     )
+    monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: True)
     bench.main()
     lines = [
         ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")

@@ -24,11 +24,35 @@ def make_weights(tmp_path, monkeypatch):
     return path
 
 
-def test_lpips_unavailable_without_weights(monkeypatch):
+def test_lpips_untrained_fallback_without_weights(monkeypatch):
+    """No weights anywhere -> the deterministic seeded tier serves the metric
+    (default-on, reference nerfacto.py:247-253 computes lpips in every eval)."""
     monkeypatch.delenv("NS_LPIPS_WEIGHTS", raising=False)
-    from nerfstudio_thermal_tpu.utils.lpips import lpips, lpips_available
-    assert not lpips_available()
-    assert lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
+    monkeypatch.delenv("NS_LPIPS", raising=False)
+    import nerfstudio_thermal_tpu.utils.lpips as L
+    L._weights_path.cache_clear()
+    L._load_weights.cache_clear()
+    assert L.lpips_available()
+    assert "untrained-seeded" in L.lpips_provenance()
+    rng = np.random.default_rng(2)
+    a = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    b = rng.uniform(size=(16, 16, 3)).astype(np.float32)
+    same = L.lpips(a, a.copy())
+    assert same == pytest.approx(0.0, abs=1e-6)
+    d1, d2 = L.lpips(a, b), L.lpips(a, b)
+    assert d1 > 1e-6 and d1 == pytest.approx(d2)  # deterministic
+    L._load_weights.cache_clear()
+
+
+def test_lpips_disabled_via_env(monkeypatch):
+    monkeypatch.delenv("NS_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.setenv("NS_LPIPS", "0")
+    import nerfstudio_thermal_tpu.utils.lpips as L
+    L._weights_path.cache_clear()
+    L._load_weights.cache_clear()
+    assert not L.lpips_available()
+    assert L.lpips_provenance() is None
+    assert L.lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3))) is None
 
 
 def test_lpips_zero_for_identical_and_positive_for_different(tmp_path, monkeypatch):
