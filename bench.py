@@ -48,7 +48,10 @@ def _child_env(extra=None):
     return env
 
 
-def build_setup(method_name: str, overrides=None, cameras=None, is_thermal=None):
+def build_setup(
+    method_name: str, overrides=None, cameras=None, is_thermal=None,
+    num_rays: int = 8192,
+):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +65,6 @@ def build_setup(method_name: str, overrides=None, cameras=None, is_thermal=None)
     from nerfstudio_thermal_tpu.model_components.ray_generators import RayGenerator
     from nerfstudio_thermal_tpu.models.thermal_nerfacto import ThermalNerfactoModel
 
-    num_rays = 8192
     num_cameras = 64 if cameras is None else int(cameras.fx.shape[0])
     h, w = 480, 640
 
@@ -407,7 +409,10 @@ def _eval_candidate_main(argv):
     )
 
 
-def _measure_datapath(method_name: str, n_steps: int = 30) -> float:
+def _measure_datapath(
+    method_name: str, n_steps: int = 30, num_pairs: int = 32,
+    hw=(480, 640), num_rays: int = 8192,
+) -> float:
     """Steady-state train rays/s pulling batches through the REAL host data
     pipeline — PrefetchingDataManager worker thread + pixel sampler (C++
     native fast path when buildable) + per-step host->device transfer +
@@ -432,11 +437,11 @@ def _measure_datapath(method_name: str, n_steps: int = 30) -> float:
 
     with tempfile.TemporaryDirectory() as tmp:
         data = make_synthetic_rgbt_dataset(
-            Path(tmp) / "d", num_pairs=32, rgb_hw=(480, 640), t_hw=(480, 640)
+            Path(tmp) / "d", num_pairs=num_pairs, rgb_hw=hw, t_hw=hw
         )
         dm = PrefetchingDataManager(
             VanillaDataManagerConfig(
-                train_num_rays_per_batch=8192, patch_size=2
+                train_num_rays_per_batch=num_rays, patch_size=2
             ),
             build_dataparser(
                 ThermalNerfDataParserConfig(data=data, train_split_fraction=1.0)
@@ -444,8 +449,12 @@ def _measure_datapath(method_name: str, n_steps: int = 30) -> float:
         )
         try:
             is_thermal = [int(v) for v in dm.train_dataset.is_thermal]
+            # dataset cameras hold host numpy arrays; the jitted step indexes
+            # them with tracers, so move the whole pytree on-device once
+            cams = jax.tree.map(jnp.asarray, dm.train_cameras)
             train_step, params, opt_state, _, num_rays = build_setup(
-                method_name, cameras=dm.train_cameras, is_thermal=is_thermal
+                method_name, cameras=cams, is_thermal=is_thermal,
+                num_rays=num_rays,
             )
             key = jax.random.PRNGKey(1)
             for i in range(3):  # compile + warm the prefetch queue

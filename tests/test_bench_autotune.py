@@ -123,6 +123,18 @@ def test_budget_exhaustion_skips_candidates(bench, monkeypatch):
     assert tried == [] and line is None
 
 
+@pytest.mark.slow
+def test_datapath_row_runs_end_to_end(bench):
+    """The datapath row (real PrefetchingDataManager + sampler + train step)
+    must execute end-to-end, not just be wired into main() — exercised at
+    tiny shapes on CPU."""
+    value = bench._measure_datapath(
+        "thermal-nerfacto-tpu", n_steps=2, num_pairs=2, hw=(36, 48),
+        num_rays=64,
+    )
+    assert value > 0
+
+
 def test_main_prints_flagship_last(bench, monkeypatch, capsys):
     vals = {n: 150000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
     monkeypatch.setattr(bench, "_run_child", _fake_child(vals))
