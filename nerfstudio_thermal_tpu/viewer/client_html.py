@@ -23,14 +23,24 @@ CLIENT_HTML = r"""<!DOCTYPE html>
     <option value="1920">1920</option>
   </select></div>
   <div id="stats">connecting...</div>
+  <div>fov <input id="fov" type="range" min="20" max="120" value="60" style="width:8em"/>
+       <span id="fovval">60</span>&deg;</div>
   <div>
     <button id="addkf">+ keyframe</button>
     <button id="clearkf">clear</button>
     <span id="kfcount">0 kf</span>
   </div>
   <div>
+    <select id="kflist" size="4" style="min-width:10em"></select><br/>
+    <button id="kfgoto">go to</button>
+    <button id="kfdel">delete</button>
+    <button id="kfup">&uarr;</button>
+    <button id="kfdown">&darr;</button>
+  </div>
+  <div>
     fps <input id="fps" type="number" value="24" style="width:3em"/>
     sec <input id="seconds" type="number" value="4" style="width:3em"/>
+    <button id="preview">preview</button>
     <button id="exportpath">export path</button>
   </div>
   <div>
@@ -60,7 +70,12 @@ const resSel = document.getElementById('res');
 
 let theta = 0.5, phi = 1.2, radius = 3.0, target = [0,0,0];
 let dragging = false, lastX = 0, lastY = 0;
-let ws = null, inflight = false, dirty = true;
+let ws = null, dirty = true, lastSent = 0;
+const fovEl = document.getElementById('fov');
+fovEl.addEventListener('input', () => {
+  document.getElementById('fovval').textContent = fovEl.value;
+  dirty = true;
+});
 
 function cameraPose() {
   const ct = Math.cos(theta), st = Math.sin(theta);
@@ -113,23 +128,84 @@ document.getElementById('exportgeo').addEventListener('click', () => {
   }));
 });
 
-// camera-path recording (render-panel analogue): collect keyframes, ask the
-// server to interpolate + save a camera_path.json for `ns-render camera-path`
+// render panel (reference viewer/render_panel.py): record/edit keyframes,
+// preview the interpolated path live, export a camera_path.json for
+// `ns-render camera-path`. Each keyframe stores both the pose matrix (for
+// the server-side slerp export) and the orbit state (for go-to/preview).
 const keyframes = [];
 const kfcount = document.getElementById('kfcount');
-document.getElementById('addkf').addEventListener('click', () => {
-  keyframes.push(cameraPose());
+const kflist = document.getElementById('kflist');
+function refreshKfList() {
   kfcount.textContent = `${keyframes.length} kf`;
+  const sel = kflist.selectedIndex;
+  kflist.innerHTML = '';
+  keyframes.forEach((k, i) => {
+    const opt = document.createElement('option');
+    opt.value = i;
+    opt.textContent = `kf ${i}: th=${k.orbit[0].toFixed(2)} ph=${k.orbit[1].toFixed(2)} r=${k.orbit[2].toFixed(2)}`;
+    kflist.appendChild(opt);
+  });
+  if (sel >= 0 && sel < keyframes.length) kflist.selectedIndex = sel;
+}
+document.getElementById('addkf').addEventListener('click', () => {
+  keyframes.push({pose: cameraPose(), orbit: [theta, phi, radius, ...target]});
+  refreshKfList();
 });
 document.getElementById('clearkf').addEventListener('click', () => {
-  keyframes.length = 0; kfcount.textContent = '0 kf';
+  keyframes.length = 0; refreshKfList();
+});
+document.getElementById('kfdel').addEventListener('click', () => {
+  const i = kflist.selectedIndex;
+  if (i >= 0) { keyframes.splice(i, 1); refreshKfList(); }
+});
+document.getElementById('kfgoto').addEventListener('click', () => {
+  const i = kflist.selectedIndex;
+  if (i < 0) return;
+  [theta, phi, radius] = keyframes[i].orbit;
+  target = keyframes[i].orbit.slice(3);
+  dirty = true;
+});
+function moveKf(delta) {
+  const i = kflist.selectedIndex, j = i + delta;
+  if (i < 0 || j < 0 || j >= keyframes.length) return;
+  [keyframes[i], keyframes[j]] = [keyframes[j], keyframes[i]];
+  refreshKfList(); kflist.selectedIndex = j;
+}
+document.getElementById('kfup').addEventListener('click', () => moveKf(-1));
+document.getElementById('kfdown').addEventListener('click', () => moveKf(1));
+
+// live path preview: interpolate the orbit states client-side and let the
+// progressive renderer stream coarse frames along the way
+let previewing = false;
+document.getElementById('preview').addEventListener('click', () => {
+  if (previewing || keyframes.length < 2) return;
+  previewing = true;
+  const secs = parseFloat(document.getElementById('seconds').value) || 4;
+  const t0 = performance.now();
+  const saved = [theta, phi, radius, ...target];
+  function stepPreview(now) {
+    const u = Math.min((now - t0) / (secs * 1000), 1) * (keyframes.length - 1);
+    const i = Math.min(Math.floor(u), keyframes.length - 2), f = u - i;
+    const a = keyframes[i].orbit, b = keyframes[i + 1].orbit;
+    theta = a[0] + f * (b[0] - a[0]);
+    phi = a[1] + f * (b[1] - a[1]);
+    radius = a[2] + f * (b[2] - a[2]);
+    target = [0, 1, 2].map(k => a[3 + k] + f * (b[3 + k] - a[3 + k]));
+    dirty = true;
+    if (u < keyframes.length - 1) requestAnimationFrame(stepPreview);
+    else {
+      [theta, phi, radius] = saved; target = saved.slice(3);
+      previewing = false; dirty = true;
+    }
+  }
+  requestAnimationFrame(stepPreview);
 });
 document.getElementById('exportpath').addEventListener('click', () => {
   if (!ws || ws.readyState !== 1 || keyframes.length === 0) return;
   ws.send(JSON.stringify({
     type: 'save_path',
-    keyframes: keyframes,
-    fov: 60.0,
+    keyframes: keyframes.map(k => k.pose),
+    fov: parseFloat(fovEl.value) || 60,
     fps: parseFloat(document.getElementById('fps').value) || 24,
     seconds: parseFloat(document.getElementById('seconds').value) || 4,
     width: parseInt(resSel.value) * 2,
@@ -140,7 +216,10 @@ document.getElementById('exportpath').addEventListener('click', () => {
 function connect() {
   ws = new WebSocket(`ws://${location.hostname}:${parseInt(location.port)+1}`);
   ws.binaryType = 'arraybuffer';
-  ws.onopen = () => { stats.textContent = 'connected'; tick(); };
+  ws.onopen = () => {
+    stats.textContent = 'connected'; dirty = true;
+    if (!window._ticking) { window._ticking = true; requestAnimationFrame(tick); }
+  };
   ws.onclose = () => { stats.textContent = 'disconnected, retrying...'; setTimeout(connect, 1000); };
   ws.onmessage = ev => {
     if (typeof ev.data === 'string') {
@@ -153,7 +232,9 @@ function connect() {
           outputSel.appendChild(opt);
         }
       } else if (msg.type === 'stats') {
-        stats.textContent = `${msg.render_ms.toFixed(0)} ms  ${msg.width}x${msg.height}`;
+        if (msg.error) { stats.textContent = `render error: ${msg.error}`; return; }
+        const tag = msg.final ? '' : ' (refining...)';
+        stats.textContent = `${msg.render_ms.toFixed(0)} ms  ${msg.width}x${msg.height}${tag}`;
       } else if (msg.type === 'saved') {
         stats.textContent = msg.error ? `export failed: ${msg.error}` : `saved ${msg.path}`;
       } else if (msg.type === 'exported') {
@@ -165,14 +246,15 @@ function connect() {
     createImageBitmap(blob).then(img => {
       canvas.width = img.width; canvas.height = img.height;
       ctx.drawImage(img, 0, 0);
-      inflight = false;
     });
   };
 }
 
-function tick() {
-  if (ws && ws.readyState === 1 && dirty && !inflight) {
-    inflight = true; dirty = false;
+// The server coalesces camera messages (latest wins) and streams
+// progressively refined frames back, so the client just throttles sends.
+function tick(now) {
+  if (ws && ws.readyState === 1 && dirty && now - lastSent > 33) {
+    dirty = false; lastSent = now;
     ws.send(JSON.stringify({
       type: 'camera',
       c2w: cameraPose(),
@@ -180,6 +262,7 @@ function tick() {
       aspect: window.innerWidth / window.innerHeight,
       output: outputSel.value || 'rgb',
       crop: cropBox(),
+      fov: parseFloat(fovEl.value) || 60,
     }));
   }
   requestAnimationFrame(tick);

@@ -10,7 +10,15 @@ asyncio websockets server with an embedded HTML client.
 Render resolutions are bucketed so each bucket's jitted render program is
 compiled once and reused (jit static shapes vs dynamic viewer resolution —
 SURVEY.md §7.3).
-"""
+
+Progressive refinement: each camera update renders the COARSEST bucket first
+(one compiled executable, small ray count -> interactive latency even when a
+full-resolution frame takes seconds), then climbs the bucket ladder toward
+the requested resolution while the camera stays idle; a new camera message
+aborts the climb and restarts coarse (reference render_state_machine.py's
+low_move/high-quality-on-idle states, :54-236). Per-bucket render times are
+tracked on the server (`bucket_render_ms`) and streamed in every stats
+message."""
 
 import asyncio
 import io
@@ -64,6 +72,9 @@ class ViewerServer:
         self.export_fn = export_fn
         self._http = None
         self._thread = None
+        # last measured render wall time per resolution bucket (ms) — the
+        # 1080p interactivity evidence the bench/README quote
+        self.bucket_render_ms: Dict[int, float] = {}
 
     def start(self, block: bool = False):
         self._http = ThreadingHTTPServer(("0.0.0.0", self.port), _PageHandler)
@@ -85,78 +96,117 @@ class ViewerServer:
 
         async def handler(ws):
             await ws.send(json.dumps({"type": "outputs", "names": self.output_names}))
-            async for message in ws:
-                try:
-                    msg = json.loads(message)
-                except json.JSONDecodeError:
-                    continue
-                if msg.get("type") == "save_path":
+            # latest-wins camera state consumed by a per-connection
+            # progressive render task
+            state = {"seq": 0, "cam": None}
+            wake = asyncio.Event()
+            render_task = asyncio.create_task(
+                self._progressive_loop(ws, state, wake)
+            )
+            try:
+                async for message in ws:
                     try:
-                        path = self.save_camera_path(msg)
-                        await ws.send(
-                            json.dumps({"type": "saved", "path": str(path)})
-                        )
-                    except Exception as e:
-                        await ws.send(
-                            json.dumps({"type": "saved", "error": str(e)})
-                        )
-                    continue
-                if msg.get("type") == "export":
-                    if self.export_fn is None:
-                        await ws.send(json.dumps(
-                            {"type": "exported", "error": "no exporter wired"}
-                        ))
+                        msg = json.loads(message)
+                    except json.JSONDecodeError:
                         continue
-                    kind = msg.get("kind", "pointcloud")
-                    crop = msg.get("crop")
-                    loop = asyncio.get_running_loop()
-                    try:
-                        path = await loop.run_in_executor(
-                            None, self._export, kind, crop
-                        )
-                        await ws.send(json.dumps(
-                            {"type": "exported", "path": str(path)}
-                        ))
-                    except Exception as e:
-                        await ws.send(json.dumps(
-                            {"type": "exported", "error": str(e)}
-                        ))
-                    continue
-                if msg.get("type") != "camera":
-                    continue
-                c2w = np.asarray(msg["c2w"], np.float32)
-                width = min(
-                    RESOLUTION_BUCKETS,
-                    key=lambda b: abs(b - int(msg.get("width", 512))),
-                )
-                aspect = float(msg.get("aspect", 16 / 9))
-                height = int(width / max(aspect, 1e-3)) // 8 * 8
-                height = max(height, 8)
-                output = msg.get("output", "rgb")
-                crop = msg.get("crop")  # [[minx,y,z],[maxx,y,z]] or None
-
-                t0 = time.perf_counter()
-                loop = asyncio.get_running_loop()
-                img = await loop.run_in_executor(
-                    None, self._render, c2w, width, height, output, crop
-                )
-                dt = (time.perf_counter() - t0) * 1000
-
-                jpeg = _to_jpeg(img)
-                await ws.send(
-                    json.dumps(
-                        {"type": "stats", "render_ms": dt, "width": width, "height": height}
-                    )
-                )
-                await ws.send(jpeg)
+                    if msg.get("type") == "camera":
+                        state["seq"] += 1
+                        state["cam"] = msg
+                        wake.set()
+                        continue
+                    await self._handle_control(ws, msg)
+            finally:
+                render_task.cancel()
 
         async with websockets.serve(handler, "0.0.0.0", self.port + 1, max_size=None):
             await asyncio.Future()
 
-    def _render(self, c2w, width, height, output, crop=None):
+    async def _handle_control(self, ws, msg):
+        if msg.get("type") == "save_path":
+            try:
+                path = self.save_camera_path(msg)
+                await ws.send(json.dumps({"type": "saved", "path": str(path)}))
+            except Exception as e:
+                await ws.send(json.dumps({"type": "saved", "error": str(e)}))
+            return
+        if msg.get("type") == "export":
+            if self.export_fn is None:
+                await ws.send(json.dumps(
+                    {"type": "exported", "error": "no exporter wired"}
+                ))
+                return
+            kind = msg.get("kind", "pointcloud")
+            crop = msg.get("crop")
+            loop = asyncio.get_running_loop()
+            try:
+                path = await loop.run_in_executor(None, self._export, kind, crop)
+                await ws.send(json.dumps(
+                    {"type": "exported", "path": str(path)}
+                ))
+            except Exception as e:
+                await ws.send(json.dumps(
+                    {"type": "exported", "error": str(e)}
+                ))
+
+    async def _progressive_loop(self, ws, state, wake):
+        """Consume the latest camera state; render the coarsest bucket first,
+        then climb toward the requested bucket while no newer camera message
+        arrives. Stale refinements are dropped; a stale COARSE frame is still
+        sent (it is the freshest complete frame and keeps motion fluid)."""
+        loop = asyncio.get_running_loop()
+        while True:
+            await wake.wait()
+            wake.clear()
+            seq, msg = state["seq"], state["cam"]
+            c2w = np.asarray(msg["c2w"], np.float32)
+            target = min(
+                RESOLUTION_BUCKETS,
+                key=lambda b: abs(b - int(msg.get("width", 512))),
+            )
+            aspect = float(msg.get("aspect", 16 / 9))
+            output = msg.get("output", "rgb")
+            crop = msg.get("crop")  # [[minx,y,z],[maxx,y,z]] or None
+            fov = float(msg.get("fov", 60.0))
+            ladder = [b for b in RESOLUTION_BUCKETS if b <= target] or [target]
+            for width in ladder:
+                height = max(int(width / max(aspect, 1e-3)) // 8 * 8, 8)
+                t0 = time.perf_counter()
+                try:
+                    img = await loop.run_in_executor(
+                        None, self._render, c2w, width, height, output, crop,
+                        fov,
+                    )
+                except Exception as e:  # noqa: BLE001 — keep the loop alive
+                    await ws.send(json.dumps(
+                        {"type": "stats", "error": str(e), "width": width,
+                         "height": height}
+                    ))
+                    break
+                dt = (time.perf_counter() - t0) * 1000
+                self.bucket_render_ms[width] = dt
+                stale = state["seq"] != seq
+                if stale and width != ladder[0]:
+                    break  # a fresher coarse frame is about to render
+                jpeg = _to_jpeg(img)
+                await ws.send(json.dumps({
+                    "type": "stats", "render_ms": dt, "width": width,
+                    "height": height, "seq": seq,
+                    "final": width == target,
+                    "bucket_render_ms": {
+                        str(k): round(v, 1)
+                        for k, v in sorted(self.bucket_render_ms.items())
+                    },
+                }))
+                await ws.send(jpeg)
+                if stale:
+                    break
+
+    def _render(self, c2w, width, height, output, crop=None, fov=60.0):
         # serialize against training (reference trainer.py:113,239 train_lock)
         with self.train_lock:
-            return self.render_fn(c2w, width, height, output, crop=crop)
+            return self.render_fn(
+                c2w, width, height, output, crop=crop, fov=fov
+            )
 
     def _export(self, kind, crop=None):
         with self.train_lock:
@@ -328,8 +378,8 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
     from nerfstudio_thermal_tpu.utils import colormaps
 
-    def render(c2w, width, height, output, crop=None):
-        focal = height / (2 * np.tan(np.radians(fov_degrees) / 2))
+    def render(c2w, width, height, output, crop=None, fov=None):
+        focal = height / (2 * np.tan(np.radians(fov or fov_degrees) / 2))
         cameras = Cameras(
             camera_to_worlds=jnp.asarray(c2w)[None],
             fx=jnp.asarray([focal]),

@@ -121,6 +121,63 @@ def test_viewer_ws_protocol_render_and_export(tiny_trainer, tmp_path):
     asyncio.run(drive())
 
 
+def test_viewer_progressive_refinement(tiny_trainer, tmp_path):
+    """A camera message above the coarsest bucket must stream a coarse frame
+    first, then a refined final frame (reference render_state_machine.py's
+    low-res-while-moving / high-quality-on-idle behavior), with per-bucket
+    render times reported."""
+    websockets = pytest.importorskip("websockets")
+    from nerfstudio_thermal_tpu.viewer.server import (
+        ViewerServer,
+        make_model_render_fn,
+    )
+
+    trainer = tiny_trainer
+    params = trainer.host_params()
+    port = 7421
+    server = ViewerServer(
+        make_model_render_fn(trainer.model, lambda: params),
+        output_names=["rgb"],
+        port=port,
+        save_dir=tmp_path,
+    )
+    server.start(block=False)
+
+    async def connect_with_retry():
+        for _ in range(40):
+            try:
+                return await websockets.connect(
+                    f"ws://localhost:{port + 1}", max_size=None, open_timeout=30
+                )
+            except OSError:
+                await asyncio.sleep(0.25)
+        raise TimeoutError("viewer websocket never came up")
+
+    async def drive():
+        async with await connect_with_retry() as ws:
+            hello = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert hello["type"] == "outputs"
+            c2w = np.eye(4, dtype=np.float32)[:3]
+            c2w[0, 3] = 2.0
+            await ws.send(json.dumps({
+                "type": "camera", "c2w": c2w.tolist(), "width": 512,
+                "aspect": 1.0, "output": "rgb", "fov": 75.0,
+            }))
+            frames = []
+            for _ in range(2):  # coarse then final
+                stats = json.loads(await asyncio.wait_for(ws.recv(), 300))
+                assert stats["type"] == "stats", stats
+                jpeg = await asyncio.wait_for(ws.recv(), 300)
+                assert jpeg[:2] == b"\xff\xd8"
+                frames.append(stats)
+            assert [f["width"] for f in frames] == [256, 512]
+            assert [f["final"] for f in frames] == [False, True]
+            assert set(frames[-1]["bucket_render_ms"]) == {"256", "512"}
+
+    asyncio.run(drive())
+    assert set(server.bucket_render_ms) == {256, 512}
+
+
 def test_probe_output_names_with_empty_eval_split(tiny_trainer):
     """Datasets whose split leaves zero eval cameras must still probe
     (session-2 fix: index 0 of a 0-camera stack crashed the probe and the
