@@ -51,6 +51,161 @@ def _quat_to_rot(q: np.ndarray) -> np.ndarray:
     )
 
 
+def _quat_log(q: np.ndarray) -> np.ndarray:
+    """Log map of a unit quaternion -> pure-imaginary vector [3]."""
+    q = q / np.linalg.norm(q)
+    v = q[1:]
+    n = np.linalg.norm(v)
+    if n < 1e-12:
+        return np.zeros(3)
+    return v / n * np.arccos(np.clip(q[0], -1.0, 1.0))
+
+
+def _quat_exp(v: np.ndarray) -> np.ndarray:
+    """Exp map of a pure-imaginary vector [3] -> unit quaternion."""
+    n = np.linalg.norm(v)
+    if n < 1e-12:
+        return np.array([1.0, 0.0, 0.0, 0.0])
+    return np.concatenate([[np.cos(n)], v / n * np.sin(n)])
+
+
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    w0, x0, y0, z0 = a
+    w1, x1, y1, z1 = b
+    return np.array(
+        [
+            w0 * w1 - x0 * x1 - y0 * y1 - z0 * z1,
+            w0 * x1 + x0 * w1 + y0 * z1 - z0 * y1,
+            w0 * y1 - x0 * z1 + y0 * w1 + z0 * x1,
+            w0 * z1 + x0 * y1 - y0 * x1 + z0 * w1,
+        ]
+    )
+
+
+def _quat_conj(q: np.ndarray) -> np.ndarray:
+    return q * np.array([1.0, -1.0, -1.0, -1.0])
+
+
+def _squad_controls(qs: np.ndarray) -> np.ndarray:
+    """Inner quadrangle points for C1 spherical spline interpolation
+    (Shoemake squad): a_i = q_i * exp(-(log(q_i^-1 q_{i+1}) +
+    log(q_i^-1 q_{i-1})) / 4)."""
+    n = len(qs)
+    ctrl = np.zeros_like(qs)
+    for i in range(n):
+        qm = qs[max(i - 1, 0)]
+        qp = qs[min(i + 1, n - 1)]
+        inv = _quat_conj(qs[i])
+        arg = -(_quat_log(_quat_mul(inv, qp)) + _quat_log(_quat_mul(inv, qm))) / 4.0
+        ctrl[i] = _quat_mul(qs[i], _quat_exp(arg))
+    return ctrl
+
+
+def _squad(q0, a0, a1, q1, t: float) -> np.ndarray:
+    """squad(q0,a0,a1,q1; t) = slerp(slerp(q0,q1,t), slerp(a0,a1,t), 2t(1-t))."""
+    return _slerp(_slerp(q0, q1, t), _slerp(a0, a1, t), 2 * t * (1 - t))
+
+
+def _kb_tangents(values: np.ndarray, tension: float, loop: bool) -> np.ndarray:
+    """Kochanek-Bartels tangents with continuity=bias=0:
+    m_i = (1 - tension)/2 * (v_{i+1} - v_{i-1}). Endpoints clamp (non-loop)
+    or wrap (loop). values: [K, ...]."""
+    prev = np.roll(values, 1, axis=0)
+    nxt = np.roll(values, -1, axis=0)
+    if not loop:
+        prev = np.concatenate([values[:1], values[:-1]], axis=0)
+        nxt = np.concatenate([values[1:], values[-1:]], axis=0)
+    return (1.0 - tension) / 2.0 * (nxt - prev)
+
+
+def _hermite(p0, p1, m0, m1, t: float):
+    t2, t3 = t * t, t * t * t
+    return (
+        (2 * t3 - 3 * t2 + 1) * p0
+        + (t3 - 2 * t2 + t) * m0
+        + (-2 * t3 + 3 * t2) * p1
+        + (t3 - t2) * m1
+    )
+
+
+def interpolate_camera_path_spline(
+    poses,
+    fovs=None,
+    durations=None,
+    fps: float = 24.0,
+    seconds: Optional[float] = None,
+    loop: bool = False,
+    tension: float = 0.0,
+):
+    """Spline camera-path interpolation matching the reference render panel
+    (reference viewer/render_panel.py:256-340: Kochanek-Bartels splines over
+    positions and fov, a spherical spline over orientations, per-keyframe
+    transition durations mapped monotonically with PCHIP, optional loop).
+
+    poses: [K] list/array of [3,4] c2w keyframes.
+    fovs: [K] per-keyframe fov in degrees (lerped by the same spline), or None.
+    durations: [K-1] (or [K] when loop) seconds per transition; uniform from
+        `seconds` when None.
+    Returns (poses [T,3,4] float32, fovs [T] float32) with T = round(fps *
+    total_duration).
+    """
+    poses = np.asarray(poses, np.float32).reshape(-1, 3, 4)
+    k = len(poses)
+    if fovs is None:
+        fovs = np.full((k,), 60.0, np.float32)
+    fovs = np.asarray(fovs, np.float32)
+    nseg = k if loop else k - 1
+    if durations is None:
+        total = float(seconds) if seconds else max(nseg, 1) * 2.0
+        durations = np.full((max(nseg, 1),), total / max(nseg, 1), np.float32)
+    durations = np.clip(np.asarray(durations, np.float32), 1e-3, None)
+    if k == 1:
+        t_total = float(durations.sum())
+        n = max(int(round(fps * t_total)), 1)
+        return np.repeat(poses, n, 0), np.repeat(fovs, n)
+
+    # monotone time -> spline-parameter mapping (reference uses PCHIP to keep
+    # constant-speed-per-segment timing smooth, render_panel.py:256-284)
+    from scipy.interpolate import PchipInterpolator
+
+    cum = np.concatenate([[0.0], np.cumsum(durations[:nseg])])
+    t_total = float(cum[-1])
+    idx = np.arange(nseg + 1, dtype=np.float64)
+    if loop:
+        # pad so the wrap transition is smooth at both ends
+        interp = PchipInterpolator(
+            np.concatenate([[-durations[-1]], cum, [t_total + durations[0]]]),
+            np.concatenate([[-1.0], idx, [nseg + 1.0]]),
+        )
+    else:
+        interp = PchipInterpolator(cum, idx)
+
+    positions = poses[:, :, 3]
+    pos_m = _kb_tangents(positions, tension, loop)
+    fov_m = _kb_tangents(fovs, tension, loop)
+    qs = np.stack([_rot_to_quat(p[:3, :3]) for p in poses])
+    for i in range(1, k):  # hemisphere-align for stable splines
+        if np.dot(qs[i - 1], qs[i]) < 0:
+            qs[i] = -qs[i]
+    ctrl = _squad_controls(qs)
+
+    n = max(int(round(fps * t_total)), 1)
+    out_poses = np.zeros((n, 3, 4), np.float32)
+    out_fovs = np.zeros((n,), np.float32)
+    for j in range(n):
+        u = float(np.clip(interp(j / fps), 0.0, nseg - 1e-6))
+        i = int(u)
+        t = u - i
+        i1 = (i + 1) % k
+        pos = _hermite(positions[i], positions[i1], pos_m[i], pos_m[i1], t)
+        fov = _hermite(fovs[i], fovs[i1], fov_m[i], fov_m[i1], t)
+        q = _squad(qs[i], ctrl[i], ctrl[i1], qs[i1], t)
+        out_poses[j, :3, :3] = _quat_to_rot(q)
+        out_poses[j, :3, 3] = pos
+        out_fovs[j] = fov
+    return out_poses, out_fovs
+
+
 def get_interpolated_camera_path(
     cameras: Cameras, steps: int, order_poses: bool = False,
     indices: Optional[np.ndarray] = None,

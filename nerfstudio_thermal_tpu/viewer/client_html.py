@@ -40,6 +40,7 @@ CLIENT_HTML = r"""<!DOCTYPE html>
   <div>
     fps <input id="fps" type="number" value="24" style="width:3em"/>
     sec <input id="seconds" type="number" value="4" style="width:3em"/>
+    <label><input id="loop" type="checkbox"/> loop</label>
     <button id="preview">preview</button>
     <button id="exportpath">export path</button>
   </div>
@@ -148,7 +149,8 @@ function refreshKfList() {
   if (sel >= 0 && sel < keyframes.length) kflist.selectedIndex = sel;
 }
 document.getElementById('addkf').addEventListener('click', () => {
-  keyframes.push({pose: cameraPose(), orbit: [theta, phi, radius, ...target]});
+  keyframes.push({pose: cameraPose(), orbit: [theta, phi, radius, ...target],
+                  fov: parseFloat(fovEl.value) || 60});
   refreshKfList();
 });
 document.getElementById('clearkf').addEventListener('click', () => {
@@ -205,9 +207,11 @@ document.getElementById('exportpath').addEventListener('click', () => {
   ws.send(JSON.stringify({
     type: 'save_path',
     keyframes: keyframes.map(k => k.pose),
+    fovs: keyframes.map(k => k.fov),  // per-keyframe fov (render panel)
     fov: parseFloat(fovEl.value) || 60,
     fps: parseFloat(document.getElementById('fps').value) || 24,
     seconds: parseFloat(document.getElementById('seconds').value) || 4,
+    loop: document.getElementById('loop').checked,
     width: parseInt(resSel.value) * 2,
     height: Math.round(parseInt(resSel.value) * 2 * 9 / 16),
   }));

@@ -214,12 +214,14 @@ class ViewerServer:
 
     def save_camera_path(self, msg: dict):
         """Viewer render-panel analogue (reference viewer/render_panel.py):
-        interpolate the recorded keyframes (lerp positions, slerp rotations)
-        into a camera_path.json consumable by `ns-render camera-path`."""
+        spline-interpolate the recorded keyframes (Kochanek-Bartels position
+        + fov splines, spherical squad orientation spline, per-keyframe
+        transition durations, optional loop) into a camera_path.json
+        consumable by `ns-render camera-path`."""
         from pathlib import Path
 
         from nerfstudio_thermal_tpu.cameras.camera_paths import (
-            _quat_to_rot, _rot_to_quat, _slerp,
+            interpolate_camera_path_spline,
         )
 
         keyframes = [np.asarray(k, np.float32) for k in msg["keyframes"]]
@@ -227,26 +229,23 @@ class ViewerServer:
             raise ValueError("no keyframes recorded")
         fps = float(msg.get("fps", 24.0))
         seconds = float(msg.get("seconds", 4.0))
-        fov = float(msg.get("fov", 60.0))
+        default_fov = float(msg.get("fov", 60.0))
+        fovs = msg.get("fovs")  # per-keyframe overrides (render panel)
+        if fovs is None:
+            fovs = [default_fov] * len(keyframes)
         width = int(msg.get("width", 1920))
         height = int(msg.get("height", 1080))
-        total = max(int(round(fps * seconds)), 1)
+        loop = bool(msg.get("loop", False))
 
-        poses = []
-        if len(keyframes) == 1:
-            poses = [keyframes[0]] * total
-        else:
-            nseg = len(keyframes) - 1
-            per_seg = max(total // nseg, 1)
-            for i in range(nseg):
-                a, b = keyframes[i], keyframes[i + 1]
-                q0, q1 = _rot_to_quat(a[:3, :3]), _rot_to_quat(b[:3, :3])
-                for s in range(per_seg):
-                    t = s / per_seg
-                    rot = _quat_to_rot(_slerp(q0, q1, t))
-                    trans = (1 - t) * a[:3, 3] + t * b[:3, 3]
-                    poses.append(np.concatenate([rot, trans[:, None]], -1))
-            poses.append(keyframes[-1][:3, :4])
+        poses, out_fovs = interpolate_camera_path_spline(
+            keyframes,
+            fovs=fovs,
+            durations=msg.get("durations"),
+            fps=fps,
+            seconds=seconds,
+            loop=loop,
+            tension=float(msg.get("tension", 0.0)),
+        )
 
         def to16(p):
             m = np.eye(4, dtype=np.float32)
@@ -259,8 +258,10 @@ class ViewerServer:
             "render_width": width,
             "fps": fps,
             "seconds": seconds,
+            "loop": loop,
             "camera_path": [
-                {"camera_to_world": to16(p), "fov": fov} for p in poses
+                {"camera_to_world": to16(p), "fov": float(f)}
+                for p, f in zip(poses, out_fovs)
             ],
         }
         out_dir = Path(self.save_dir or ".") / "camera_paths"

@@ -4,6 +4,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 from nerfstudio_thermal_tpu.configs.method_configs import get_method_config, setup_trainer
 from tests.fixtures import make_synthetic_rgbt_dataset
@@ -84,14 +85,21 @@ def test_viewer_camera_path_export_renders(tmp_path):
 
     dest = server.save_camera_path({
         "keyframes": [pose(0.0), pose(1.0)],
+        "fovs": [55.0, 65.0],  # per-keyframe fov (render panel)
         "fov": 55.0, "fps": 4, "seconds": 1.5, "width": 32, "height": 24,
     })
     path_json = json.loads(Path(dest).read_text())
     assert path_json["render_width"] == 32
-    assert len(path_json["camera_path"]) == 7  # 4*1.5 rounded + final keyframe
-    # rotations stay orthonormal through slerp
+    assert len(path_json["camera_path"]) == 6  # round(fps * seconds)
+    # rotations stay orthonormal through the spherical spline
     M = np.array(path_json["camera_path"][3]["camera_to_world"]).reshape(4, 4)
     np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3), atol=1e-5)
+    # first frame hits the first keyframe pose + fov exactly
+    M0 = np.array(path_json["camera_path"][0]["camera_to_world"]).reshape(4, 4)
+    np.testing.assert_allclose(M0[:3, :4], np.array(pose(0.0)), atol=1e-5)
+    assert path_json["camera_path"][0]["fov"] == pytest.approx(55.0, abs=1e-4)
+    fovs = [c["fov"] for c in path_json["camera_path"]]
+    assert fovs == sorted(fovs) and fovs[-1] > 60.0  # climbs toward 65
 
     rc = ns_render([
         "camera-path", "--load-config", str(config_path),
