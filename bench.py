@@ -247,6 +247,11 @@ def _run_child(cmd, env=None, timeout=600) -> str:
 _FLAGSHIP_CANDIDATES = [
     ("default", {}),
     ("fray-base", {"fused_raymarch": True}),  # r3: 180.9k vs 178.0k off
+    # proposals fused WITHOUT input grads this time: the r3 2x loss (90.3k)
+    # was measured with input grads forcing a sequential backward; the
+    # flagship ships proposal_camera_gradients=False, which the fused path
+    # lowers to a parallel backward (VERDICT r3 item 4 retry)
+    ("fray-props", {"fused_raymarch": True, "fused_raymarch_proposals": True}),
     ("fray-field", {"fused_raymarch": True, "fused_field": True}),
 ]
 

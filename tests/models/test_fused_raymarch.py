@@ -134,6 +134,38 @@ def test_proposal_field_fused_raymarch_matches_positions_path():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
 
 
+def test_proposal_fused_no_input_grads_matches_param_grads():
+    """The flagship ships proposal_camera_gradients=False, so the fused
+    proposal path runs with ray_input_grads=False (parallel backward — the
+    bench fray-props candidate). Param grads must still match the unfused
+    path exactly; only input grads are dropped."""
+    rs = _random_ray_samples(jax.random.PRNGKey(5), num_rays=4, num_samples=7)
+    kwargs = dict(
+        aabb=((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0)),
+        num_layers=2,
+        hidden_dim=16,
+        num_frequencies=3,
+        use_pallas=True,
+    )
+    net_f = MLPDensityField(
+        fused_raymarch=True, fused_raymarch_input_grads=False, **kwargs
+    )
+    net_r = MLPDensityField(fused_raymarch=False, **kwargs)
+    params_f = net_f.init(jax.random.PRNGKey(3), ray_samples=rs)["params"]
+    params_r = {"mlp": _remap_dense_params(params_f["mlp"])}
+
+    d1 = net_f.apply({"params": params_f}, ray_samples=rs)
+    d2 = net_r.apply({"params": params_r}, ray_samples=rs)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-4, atol=1e-6)
+
+    g1 = _remap_dense_params(
+        jax.grad(lambda p: jnp.sum(net_f.apply({"params": p}, ray_samples=rs) ** 2))(params_f)["mlp"]
+    )
+    g2 = jax.grad(lambda p: jnp.sum(net_r.apply({"params": p}, ray_samples=rs) ** 2))(params_r)["mlp"]
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5)
+
+
 def test_base_field_fused_field_matches_unfused_forward():
     """Whole-field kernel (fused_field=True) vs the two-stage path, full
     forward incl. color head, density and param/ray grads."""

@@ -77,7 +77,7 @@ def test_candidate_timeout_probes_then_continues(bench, monkeypatch):
     monkeypatch.setattr(bench, "_run_child", spy)
     monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: True)
     line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
-    assert tried == ["default", "fray-base", "fray-field"]
+    assert tried == [n for n, _ in bench._FLAGSHIP_CANDIDATES]
     assert json.loads(line)["value"] == 100000.0
 
 
