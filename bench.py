@@ -496,9 +496,20 @@ def _row_main(argv):
             run("thermal-nerfacto", "train_rays_per_sec_hash_parity", n_steps=5)
     elif row == "parity":
         # flagship at the reference's own workload constants ((256,96)/48,
-        # full-rate regularizers) — the apples-to-apples throughput row
-        run("thermal-nerfacto-tpu@parity",
-            "train_rays_per_sec_parity_workload", n_steps=10)
+        # full-rate regularizers) — the apples-to-apples throughput row.
+        # Inherits the flagship autotune winner's fused-kernel overrides
+        # (--winner <name>) so a fused win propagates to the parity number.
+        winner = (
+            argv[argv.index("--winner") + 1] if "--winner" in argv else "default"
+        )
+        overrides = dict(_FLAGSHIP_CANDIDATES).get(winner, {})
+        value = _measure("thermal-nerfacto-tpu@parity", n_steps=10,
+                         overrides=overrides)
+        _emit(
+            "train_rays_per_sec_parity_workload", value,
+            "thermal-nerfacto-tpu@parity",
+            note=f"fused-kernel overrides from flagship winner={winner}",
+        )
     elif row == "datapath":
         value = _measure_datapath("thermal-nerfacto-tpu")
         _emit(
@@ -549,13 +560,13 @@ def _run_flagship_candidates(method_name: str, metric: str, n_steps: int):
             print(f"# candidate {name} failed: {type(e).__name__}: {e}",
                   flush=True)
     if not results:
-        return None
+        return None, "default"
     winner = max(results, key=results.get)
     cand_note = " ".join(f"{k}={v/1e3:.1f}k" for k, v in results.items())
     return _format(
         metric, results[winner], method_name,
         note=f"autotuned fused-raymarch winner={winner} [{cand_note}]",
-    )
+    ), winner
 
 
 def main():
@@ -571,13 +582,13 @@ def main():
     # caps are scheduled against the _BUDGET_S deadline.
     flagship_line = None
     try:
-        flagship_line = _run_flagship_candidates(
+        flagship_line, winner = _run_flagship_candidates(
             "thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30
         )
 
         # secondary rows, priority order (parity and the 1080p capture are
         # VERDICT r3 done-criteria), each gated on remaining budget
-        def _row(row, cap_s, floor_s):
+        def _row(row, cap_s, floor_s, extra=()):
             cap = min(cap_s, _remaining() - 25.0)
             if cap < floor_s:
                 print(f"# row {row} skipped ({_remaining():.0f}s left)",
@@ -585,7 +596,7 @@ def main():
                 return
             try:
                 out = _run_child(
-                    [sys.executable, __file__, "--row", row],
+                    [sys.executable, __file__, "--row", row, *extra],
                     env=_child_env(), timeout=cap,
                 )
                 for ln in out.splitlines():
@@ -598,7 +609,7 @@ def main():
             except Exception:
                 traceback.print_exc()
 
-        _row("parity", 170.0, 50.0)
+        _row("parity", 170.0, 50.0, extra=("--winner", winner))
         if _remaining() > 70.0:
             try:
                 run_eval_1080p("thermal-nerfacto-tpu")

@@ -54,7 +54,7 @@ def test_winner_selection_and_fail_soft(bench, monkeypatch, capsys):
     monkeypatch.setattr(
         bench, "_run_child", _fake_child(vals, failures={"fray-field"})
     )
-    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    line, _ = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
     d = json.loads(line)
     assert d["value"] == 222222.0
     assert "winner=fray-base" in d["note"]
@@ -76,7 +76,7 @@ def test_candidate_timeout_probes_then_continues(bench, monkeypatch):
 
     monkeypatch.setattr(bench, "_run_child", spy)
     monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: True)
-    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    line, _ = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
     assert tried == [n for n, _ in bench._FLAGSHIP_CANDIDATES]
     assert json.loads(line)["value"] == 100000.0
 
@@ -93,7 +93,7 @@ def test_candidate_timeout_dead_device_stops_sweep(bench, monkeypatch):
 
     monkeypatch.setattr(bench, "_run_child", spy)
     monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: False)
-    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    line, _ = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
     assert tried == ["default", "fray-base"]  # dead probe stops the sweep
     assert json.loads(line)["value"] == 100000.0  # default still wins
 
@@ -103,7 +103,7 @@ def test_no_candidate_completed_returns_none(bench, monkeypatch):
         bench, "_run_child",
         _fake_child({}, failures={n for n, _ in bench._FLAGSHIP_CANDIDATES}),
     )
-    assert bench._run_flagship_candidates("m", "train_rays_per_sec", 5) is None
+    assert bench._run_flagship_candidates("m", "train_rays_per_sec", 5)[0] is None
 
 
 def test_budget_exhaustion_skips_candidates(bench, monkeypatch):
@@ -119,7 +119,7 @@ def test_budget_exhaustion_skips_candidates(bench, monkeypatch):
 
     monkeypatch.setattr(bench, "_run_child", spy)
     monkeypatch.setattr(bench, "_remaining", lambda: 25.0)
-    line = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
+    line, _ = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
     assert tried == [] and line is None
 
 

@@ -20,7 +20,9 @@ run --candidate default    --method thermal-nerfacto-tpu --steps 3
 run --candidate fray-base  --method thermal-nerfacto-tpu --steps 3
 run --candidate fray-props --method thermal-nerfacto-tpu --steps 3
 run --candidate fray-field --method thermal-nerfacto-tpu --steps 3
-run --row parity
+run --row parity --winner default
+run --row parity --winner fray-base
+run --row parity --winner fray-props
 run --eval-candidate default   --method thermal-nerfacto-tpu
 run --eval-candidate fray-base --method thermal-nerfacto-tpu
 run --row hash
