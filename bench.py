@@ -247,13 +247,18 @@ def _run_child(cmd, env=None, timeout=600) -> str:
 _FLAGSHIP_CANDIDATES = [
     ("default", {}),
     ("fray-base", {"fused_raymarch": True}),  # r3: 180.9k vs 178.0k off
-    # proposals fused WITHOUT input grads this time: the r3 2x loss (90.3k)
-    # was measured with input grads forcing a sequential backward; the
-    # flagship ships proposal_camera_gradients=False, which the fused path
-    # lowers to a parallel backward (VERDICT r3 item 4 retry)
-    ("fray-props", {"fused_raymarch": True, "fused_raymarch_proposals": True}),
     ("fray-field", {"fused_raymarch": True, "fused_field": True}),
 ]
+
+# Measured and excluded (r4, live v5e, parallel backward — input grads OFF):
+# fused proposals ("fray-props") lose ~2x (83.7k vs 149.8k default at equal
+# conditions), same magnitude as r3's with-input-grads 90.3k. The loss is
+# the kernel boundary breaking XLA's fusion of the surrounding resampling
+# chain (same failure mode as the r3 color-head fusion), NOT the backward
+# schedule — so the candidate is dropped rather than re-swept each round.
+_EXCLUDED_CANDIDATES = {
+    "fray-props": {"fused_raymarch": True, "fused_raymarch_proposals": True},
+}
 
 # extra environment per candidate (subprocess-only)
 _CANDIDATE_ENV = {}
@@ -394,7 +399,7 @@ def _candidate_main(argv):
     name = argv[argv.index("--candidate") + 1]
     method = argv[argv.index("--method") + 1]
     n_steps = int(argv[argv.index("--steps") + 1])
-    overrides = dict(_FLAGSHIP_CANDIDATES)[name]
+    overrides = {**dict(_FLAGSHIP_CANDIDATES), **_EXCLUDED_CANDIDATES}[name]
     value = _measure(method, n_steps, overrides)
     print(json.dumps({"candidate": name, "value": round(value, 1)}), flush=True)
 
@@ -502,7 +507,9 @@ def _row_main(argv):
         winner = (
             argv[argv.index("--winner") + 1] if "--winner" in argv else "default"
         )
-        overrides = dict(_FLAGSHIP_CANDIDATES).get(winner, {})
+        overrides = {
+            **dict(_FLAGSHIP_CANDIDATES), **_EXCLUDED_CANDIDATES
+        }.get(winner, {})
         value = _measure("thermal-nerfacto-tpu@parity", n_steps=10,
                          overrides=overrides)
         _emit(
