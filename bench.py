@@ -267,7 +267,9 @@ _CANDIDATE_ENV = {}
 def _probe_device(timeout: float = 30.0) -> bool:
     """Tiny-matmul child: is the TPU actually reachable right now? A single
     candidate timeout must NOT be read as a dead device (r3's breakout
-    heuristic was disproven within its own run)."""
+    heuristic was disproven within its own run). SIGTERM-first on timeout,
+    like _run_child — a straight SIGKILL mid-device-init can worsen a
+    wedged tunnel."""
     import subprocess
     import sys
 
@@ -276,14 +278,42 @@ def _probe_device(timeout: float = 30.0) -> bool:
         "x = jnp.ones((128, 128), jnp.float32);"
         "print(float((x @ x).sum()))"
     )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
     try:
-        subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout, check=True, capture_output=True,
-        )
-        return True
+        proc.communicate(timeout=timeout)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+        return False
     except Exception:  # noqa: BLE001
         return False
+
+
+def _wait_for_device() -> bool:
+    """Probe the device BEFORE spending any candidate budget. The axon
+    tunnel has twice been observed wedged (children hang in device init,
+    burning their whole cap) and it can be restored by the relay owner
+    mid-window — so on a failed probe, keep re-probing on a short period
+    until recovery or until too little budget remains to measure anything."""
+    if _probe_device(timeout=60.0):
+        return True
+    print("# device probe failed at start; waiting for tunnel recovery",
+          flush=True)
+    while _remaining() > 150.0:
+        time.sleep(15.0)
+        if _probe_device(timeout=30.0):
+            print(f"# device recovered ({_remaining():.0f}s budget left)",
+                  flush=True)
+            return True
+    return False
 
 
 def _measure_eval_1080p(method_name: str, overrides=None) -> tuple:
@@ -589,6 +619,12 @@ def main():
     # caps are scheduled against the _BUDGET_S deadline.
     flagship_line = None
     try:
+        if not _wait_for_device():
+            print(
+                "# device unreachable for the whole probe window; "
+                "no measurements possible", flush=True,
+            )
+            return
         flagship_line, winner = _run_flagship_candidates(
             "thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30
         )

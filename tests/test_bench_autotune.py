@@ -138,6 +138,7 @@ def test_datapath_row_runs_end_to_end(bench):
 def test_main_prints_flagship_last(bench, monkeypatch, capsys):
     vals = {n: 150000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
     monkeypatch.setattr(bench, "_run_child", _fake_child(vals))
+    monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: True)
     bench.main()
     lines = [
         json.loads(ln) for ln in capsys.readouterr().out.splitlines()
@@ -150,6 +151,35 @@ def test_main_prints_flagship_last(bench, monkeypatch, capsys):
     assert {l["metric"] for l in lines[:-1]} >= {
         "row_hash", "row_parity", "row_datapath", "test_rays_per_sec_1080p"
     }
+
+
+def test_main_dead_device_exits_cleanly(bench, monkeypatch, capsys):
+    """A wedged tunnel at t=0 must not burn candidate caps hanging in
+    children: main() waits for recovery, then (still dead, budget low)
+    skips every measurement and exits rc-0 with only comment lines."""
+    called = []
+    monkeypatch.setattr(
+        bench, "_run_child",
+        lambda *a, **k: called.append(a) or (_ for _ in ()).throw(
+            AssertionError("no child may start on a dead device")
+        ),
+    )
+    monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: False)
+    monkeypatch.setattr(bench, "_remaining", lambda: 100.0)  # below wait floor
+    bench.main()
+    out = capsys.readouterr().out
+    assert called == []
+    assert not [ln for ln in out.splitlines() if ln.startswith("{")]
+    assert "device unreachable" in out
+
+
+def test_wait_for_device_recovers_mid_window(bench, monkeypatch):
+    probes = iter([False, False, True])
+    monkeypatch.setattr(
+        bench, "_probe_device", lambda timeout=30.0: next(probes)
+    )
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._wait_for_device() is True
 
 
 def test_main_row_timeout_still_prints_flagship(bench, monkeypatch, capsys):
