@@ -16,6 +16,7 @@ Python objects), and the RNG key.
 """
 
 import functools
+import math
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -104,7 +105,13 @@ class Trainer:
         )
         self._xla_profiler = None
         self._viewer = None
-        self.train_lock = __import__("threading").Lock()
+        threading = __import__("threading")
+        self.train_lock = threading.Lock()
+        # viewer pause control (reference viewer.py training_state): set ->
+        # the train loop idles (still releasing train_lock so viewer renders
+        # stay live); _step_once grants a single iteration while paused
+        self._pause_event = threading.Event()
+        self._step_once = threading.Event()
 
         from nerfstudio_thermal_tpu.utils.precision import ensure_exact_f32_matmuls
 
@@ -174,8 +181,26 @@ class Trainer:
                 self.model, lambda: self.host_params(),
                 self.datamanager.eval_cameras, self.base_dir,
             ),
+            train_control=self._viewer_train_control,
         )
         self._viewer.start(block=False)
+
+    def _viewer_train_control(self, action: str) -> dict:
+        """Viewer pause/resume/step hook (reference viewer/viewer.py
+        training-state button). Returns the state the client displays."""
+        if action == "pause":
+            self._pause_event.set()
+        elif action == "resume":
+            self._pause_event.clear()
+            self._step_once.set()  # wake the wait loop immediately
+        elif action == "step":
+            self._step_once.set()
+        elif action != "status":
+            raise ValueError(f"unknown train_control action '{action}'")
+        return {
+            "paused": self._pause_event.is_set(),
+            "step": int(getattr(self, "_last_logged_step", 0)),
+        }
 
     def _build_train_step(self):
         if getattr(self.model, "is_rasterization", False):
@@ -333,6 +358,12 @@ class Trainer:
         self.writer.console_log(0, {})
         t_last = time.perf_counter()
         for step in range(self._start_step, self.config.max_num_iterations):
+            # viewer pause: idle without holding train_lock so interactive
+            # renders stay responsive; a 'step' grant runs one iteration
+            while self._pause_event.is_set() and not self._step_once.is_set():
+                time.sleep(0.05)
+            self._step_once.clear()
+            self._last_logged_step = step
             with self.train_lock:
                 scalars = self.train_iteration(step)
             if self._xla_profiler is not None:
@@ -361,6 +392,17 @@ class Trainer:
                     pass
                 self.writer.write_scalar_dict(scalars, step, group="train")
                 self.writer.console_log(step, scalars)
+                if self._viewer is not None:
+                    stats = {
+                        "step": step,
+                        "rays_per_sec": round(rays_per_sec, 1),
+                        "iter_ms": round(iter_time * 1e3, 2),
+                        "eta_s": round(remaining * iter_time, 1),
+                    }
+                    loss = scalars.get("loss")
+                    if loss is not None and math.isfinite(loss):
+                        stats["loss"] = round(loss, 5)
+                    self._viewer.update_train_stats(stats)
 
             if (
                 self.config.steps_per_eval_batch > 0

@@ -73,7 +73,10 @@ def main(argv=None) -> int:
                 config.trainer.output_dir = Path(val)
             elif key == "experiment_name":
                 config.trainer.experiment_name = val
-            # vis/viewer_port accepted for CLI parity; viewer wiring in scripts/viewer
+            elif key == "vis":
+                config.trainer.vis = val  # 'viewer' serves during training
+            elif key == "viewer_port":
+                config.trainer.viewer_port = int(val)
             continue
         mapped.append(tok)
         i += 1

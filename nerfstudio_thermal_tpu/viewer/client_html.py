@@ -16,6 +16,14 @@ CLIENT_HTML = r"""<!DOCTYPE html>
 <body>
 <div id="hud">
   <div>output: <select id="output"></select></div>
+  <div>split: <select id="split"><option value="">none</option></select>
+    <input id="splitfrac" type="range" min="0" max="100" value="50" style="width:6em"/>
+  </div>
+  <div id="train" style="display:none">
+    <button id="pausebtn">pause</button>
+    <button id="stepbtn">step 1</button>
+    <span id="trainstats"></span>
+  </div>
   <div>res: <select id="res">
     <option value="256">256</option>
     <option value="512" selected>512</option>
@@ -35,7 +43,11 @@ CLIENT_HTML = r"""<!DOCTYPE html>
     <button id="kfgoto">go to</button>
     <button id="kfdel">delete</button>
     <button id="kfup">&uarr;</button>
-    <button id="kfdown">&darr;</button>
+    <button id="kfdown">&darr;</button><br/>
+    <span id="kfedit" style="display:none">
+      dur <input id="kfdur" type="number" value="1" step="0.1" style="width:3em"/>s
+      fov <input id="kffov" type="number" value="60" style="width:3em"/>&deg;
+    </span>
   </div>
   <div>
     fps <input id="fps" type="number" value="24" style="width:3em"/>
@@ -108,6 +120,26 @@ canvas.addEventListener('wheel', e => { radius *= Math.exp(e.deltaY*0.001); dirt
 outputSel.addEventListener('change', ()=> dirty=true);
 resSel.addEventListener('change', ()=> dirty=true);
 
+// split-output compare (reference control panel split slider)
+const splitSel = document.getElementById('split');
+const splitFrac = document.getElementById('splitfrac');
+splitSel.addEventListener('change', ()=> dirty=true);
+splitFrac.addEventListener('input', ()=> dirty=true);
+
+// train controls (reference viewer pause-training button + stats markdown)
+const trainDiv = document.getElementById('train');
+const pauseBtn = document.getElementById('pausebtn');
+let trainPaused = false;
+pauseBtn.addEventListener('click', () => {
+  if (!ws || ws.readyState !== 1) return;
+  ws.send(JSON.stringify({type: 'train_control',
+                          action: trainPaused ? 'resume' : 'pause'}));
+});
+document.getElementById('stepbtn').addEventListener('click', () => {
+  if (ws && ws.readyState === 1)
+    ws.send(JSON.stringify({type: 'train_control', action: 'step'}));
+});
+
 // crop / scene-box tool (reference viewer control panel crop controls)
 function cropBox() {
   if (!document.getElementById('cropon').checked) return null;
@@ -143,14 +175,33 @@ function refreshKfList() {
   keyframes.forEach((k, i) => {
     const opt = document.createElement('option');
     opt.value = i;
-    opt.textContent = `kf ${i}: th=${k.orbit[0].toFixed(2)} ph=${k.orbit[1].toFixed(2)} r=${k.orbit[2].toFixed(2)}`;
+    opt.textContent = `kf ${i}: th=${k.orbit[0].toFixed(2)} ph=${k.orbit[1].toFixed(2)} r=${k.orbit[2].toFixed(2)} ${k.duration.toFixed(1)}s ${k.fov.toFixed(0)}°`;
     kflist.appendChild(opt);
   });
   if (sel >= 0 && sel < keyframes.length) kflist.selectedIndex = sel;
+  syncKfEdit();
 }
+// per-keyframe duration/fov editing (reference render_panel keyframe props)
+const kfEdit = document.getElementById('kfedit');
+const kfDur = document.getElementById('kfdur');
+const kfFov = document.getElementById('kffov');
+function syncKfEdit() {
+  const i = kflist.selectedIndex;
+  kfEdit.style.display = i >= 0 ? '' : 'none';
+  if (i >= 0) { kfDur.value = keyframes[i].duration; kfFov.value = keyframes[i].fov; }
+}
+kflist.addEventListener('change', syncKfEdit);
+kfDur.addEventListener('change', () => {
+  const i = kflist.selectedIndex;
+  if (i >= 0) { keyframes[i].duration = Math.max(parseFloat(kfDur.value) || 1, 0.1); refreshKfList(); }
+});
+kfFov.addEventListener('change', () => {
+  const i = kflist.selectedIndex;
+  if (i >= 0) { keyframes[i].fov = parseFloat(kfFov.value) || 60; refreshKfList(); }
+});
 document.getElementById('addkf').addEventListener('click', () => {
   keyframes.push({pose: cameraPose(), orbit: [theta, phi, radius, ...target],
-                  fov: parseFloat(fovEl.value) || 60});
+                  fov: parseFloat(fovEl.value) || 60, duration: 1.0});
   refreshKfList();
 });
 document.getElementById('clearkf').addEventListener('click', () => {
@@ -204,10 +255,15 @@ document.getElementById('preview').addEventListener('click', () => {
 });
 document.getElementById('exportpath').addEventListener('click', () => {
   if (!ws || ws.readyState !== 1 || keyframes.length === 0) return;
+  const loopChecked = document.getElementById('loop').checked;
   ws.send(JSON.stringify({
     type: 'save_path',
     keyframes: keyframes.map(k => k.pose),
     fovs: keyframes.map(k => k.fov),  // per-keyframe fov (render panel)
+    // per-transition durations: [K-1], or [K] with the loop-back segment
+    durations: keyframes.slice(0, loopChecked ? keyframes.length
+                                              : keyframes.length - 1)
+                        .map(k => k.duration),
     fov: parseFloat(fovEl.value) || 60,
     fps: parseFloat(document.getElementById('fps').value) || 24,
     seconds: parseFloat(document.getElementById('seconds').value) || 4,
@@ -230,11 +286,27 @@ function connect() {
       const msg = JSON.parse(ev.data);
       if (msg.type === 'outputs') {
         outputSel.innerHTML = '';
+        splitSel.innerHTML = '<option value="">none</option>';
         for (const o of msg.names) {
           const opt = document.createElement('option');
           opt.value = o; opt.textContent = o;
           outputSel.appendChild(opt);
+          const opt2 = document.createElement('option');
+          opt2.value = o; opt2.textContent = o;
+          splitSel.appendChild(opt2);
         }
+      } else if (msg.type === 'train_stats') {
+        trainDiv.style.display = '';
+        const parts = [`step ${msg.step}`];
+        if (msg.rays_per_sec) parts.push(`${(msg.rays_per_sec/1e3).toFixed(1)}k rays/s`);
+        if (msg.loss !== undefined) parts.push(`loss ${msg.loss}`);
+        if (msg.eta_s !== undefined) parts.push(`eta ${Math.round(msg.eta_s)}s`);
+        document.getElementById('trainstats').textContent = parts.join('  ');
+      } else if (msg.type === 'train_state') {
+        if (msg.error) { stats.textContent = msg.error; return; }
+        trainDiv.style.display = '';
+        trainPaused = !!msg.paused;
+        pauseBtn.textContent = trainPaused ? 'resume' : 'pause';
       } else if (msg.type === 'stats') {
         if (msg.error) { stats.textContent = `render error: ${msg.error}`; return; }
         const tag = msg.final ? '' : ' (refining...)';
@@ -265,6 +337,8 @@ function tick(now) {
       width: parseInt(resSel.value),
       aspect: window.innerWidth / window.innerHeight,
       output: outputSel.value || 'rgb',
+      output_split: splitSel.value || null,
+      split_fraction: parseInt(splitFrac.value) / 100,
       crop: cropBox(),
       fov: parseFloat(fovEl.value) || 60,
     }));

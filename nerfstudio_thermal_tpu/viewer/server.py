@@ -57,21 +57,29 @@ class ViewerServer:
         train_lock: Optional[threading.Lock] = None,
         save_dir=None,
         export_fn: Optional[Callable[..., str]] = None,
+        train_control: Optional[Callable[[str], dict]] = None,
     ):
         """render_fn(c2w [3,4], width, height, output_name, crop=None) ->
         image [H,W,3]; crop is an optional [2,3] world AABB (the viewer crop
         tool, reference viewer/control_panel.py).
         save_dir: where exported camera paths are written (default cwd).
         export_fn(kind, crop=None) -> path: runs a geometry export
-        (pointcloud/tsdf; reference viewer/export_panel.py)."""
+        (pointcloud/tsdf; reference viewer/export_panel.py).
+        train_control(action) -> status dict: pause/resume/step/status hook
+        into the live trainer (reference viewer pause-training control,
+        viewer/viewer.py training_state)."""
         self.render_fn = render_fn
         self.output_names = list(output_names)
         self.port = port
         self.train_lock = train_lock or threading.Lock()
         self.save_dir = save_dir
         self.export_fn = export_fn
+        self.train_control = train_control
         self._http = None
         self._thread = None
+        self._loop = None  # the ws event loop (for cross-thread broadcast)
+        self._clients = set()
+        self._train_stats: Dict[str, float] = {}
         # last measured render wall time per resolution bucket (ms) — the
         # 1080p interactivity evidence the bench/README quote
         self.bucket_render_ms: Dict[int, float] = {}
@@ -91,11 +99,43 @@ class ViewerServer:
     def _run_ws(self):
         asyncio.run(self._ws_main())
 
+    def update_train_stats(self, stats: Dict[str, float]):
+        """Called by the trainer (any thread) at log cadence; pushes a live
+        train_stats message to every connected client (reference viewer
+        stats markdown: step / rays-per-sec / train util)."""
+        self._train_stats = dict(stats)
+        if self._loop is None:
+            return
+        payload = json.dumps({"type": "train_stats", **self._train_stats})
+
+        def _broadcast():
+            for ws in list(self._clients):
+                asyncio.ensure_future(self._safe_send(ws, payload))
+
+        try:
+            self._loop.call_soon_threadsafe(_broadcast)
+        except RuntimeError:
+            pass  # loop shut down
+
+    @staticmethod
+    async def _safe_send(ws, payload):
+        try:
+            await ws.send(payload)
+        except Exception:  # noqa: BLE001 — a gone client must not raise
+            pass
+
     async def _ws_main(self):
         import websockets
 
+        self._loop = asyncio.get_running_loop()
+
         async def handler(ws):
+            self._clients.add(ws)
             await ws.send(json.dumps({"type": "outputs", "names": self.output_names}))
+            if self._train_stats:
+                await ws.send(json.dumps(
+                    {"type": "train_stats", **self._train_stats}
+                ))
             # latest-wins camera state consumed by a per-connection
             # progressive render task
             state = {"seq": 0, "cam": None}
@@ -116,12 +156,28 @@ class ViewerServer:
                         continue
                     await self._handle_control(ws, msg)
             finally:
+                self._clients.discard(ws)
                 render_task.cancel()
 
         async with websockets.serve(handler, "0.0.0.0", self.port + 1, max_size=None):
             await asyncio.Future()
 
     async def _handle_control(self, ws, msg):
+        if msg.get("type") == "train_control":
+            # pause / resume / step / status (reference viewer pause button)
+            if self.train_control is None:
+                await ws.send(json.dumps(
+                    {"type": "train_state", "error": "no trainer attached"}
+                ))
+                return
+            try:
+                status = self.train_control(msg.get("action", "status"))
+                await ws.send(json.dumps({"type": "train_state", **status}))
+            except Exception as e:  # noqa: BLE001 — keep the ws alive
+                await ws.send(json.dumps(
+                    {"type": "train_state", "error": str(e)}
+                ))
+            return
         if msg.get("type") == "save_path":
             try:
                 path = self.save_camera_path(msg)
@@ -167,14 +223,18 @@ class ViewerServer:
             output = msg.get("output", "rgb")
             crop = msg.get("crop")  # [[minx,y,z],[maxx,y,z]] or None
             fov = float(msg.get("fov", 60.0))
+            # split-screen compare (reference control panel split-output
+            # slider): second output rendered and composited left|right
+            split_output = msg.get("output_split") or None
+            split_frac = float(msg.get("split_fraction", 0.5))
             ladder = [b for b in RESOLUTION_BUCKETS if b <= target] or [target]
             for width in ladder:
                 height = max(int(width / max(aspect, 1e-3)) // 8 * 8, 8)
                 t0 = time.perf_counter()
                 try:
                     img = await loop.run_in_executor(
-                        None, self._render, c2w, width, height, output, crop,
-                        fov,
+                        None, self._render_split, c2w, width, height, output,
+                        crop, fov, split_output, split_frac,
                     )
                 except Exception as e:  # noqa: BLE001 — keep the loop alive
                     await ws.send(json.dumps(
@@ -208,6 +268,27 @@ class ViewerServer:
                 c2w, width, height, output, crop=crop, fov=fov
             )
 
+    def _render_split(self, c2w, width, height, output, crop, fov,
+                      split_output=None, split_frac=0.5):
+        """Render `output`, and when a second output is selected composite
+        the two left|right at `split_frac` with a 2px divider (reference
+        viewer split-output compare)."""
+        img = np.asarray(self._render(c2w, width, height, output, crop, fov))
+        if not split_output or split_output == output:
+            return img
+        other = np.asarray(
+            self._render(c2w, width, height, split_output, crop, fov)
+        )
+        if img.shape[-1] != other.shape[-1]:  # e.g. rgb vs 1-ch depth map
+            if img.shape[-1] == 1:
+                img = np.repeat(img, 3, axis=-1)
+            if other.shape[-1] == 1:
+                other = np.repeat(other, 3, axis=-1)
+        col = int(np.clip(split_frac, 0.0, 1.0) * img.shape[1])
+        out = np.concatenate([img[:, :col], other[:, col:]], axis=1)
+        out[:, max(col - 1, 0):min(col + 1, out.shape[1])] = 1.0
+        return out
+
     def _export(self, kind, crop=None):
         with self.train_lock:
             return self.export_fn(kind, crop=crop)
@@ -237,10 +318,11 @@ class ViewerServer:
         height = int(msg.get("height", 1080))
         loop = bool(msg.get("loop", False))
 
+        durations = msg.get("durations") or None  # [] -> uniform fallback
         poses, out_fovs = interpolate_camera_path_spline(
             keyframes,
             fovs=fovs,
-            durations=msg.get("durations"),
+            durations=durations,
             fps=fps,
             seconds=seconds,
             loop=loop,

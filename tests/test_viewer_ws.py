@@ -212,3 +212,132 @@ def test_platform_env_reassertion(monkeypatch):
         assert jax.config.jax_platforms == "cpu"
     finally:
         jax.config.update("jax_platforms", before)
+
+
+def _stub_server(tmp_path, port, train_control=None):
+    from nerfstudio_thermal_tpu.viewer.server import ViewerServer
+
+    def render_fn(c2w, width, height, output, crop=None, fov=60.0):
+        val = {"rgb": 0.25, "depth": 0.75}.get(output, 0.5)
+        return np.full((height, width, 3), val, np.float32)
+
+    return ViewerServer(
+        render_fn, output_names=["rgb", "depth"], port=port,
+        save_dir=tmp_path, train_control=train_control,
+    )
+
+
+def test_render_split_composites(tmp_path):
+    """Split-output compare: left half from the primary output, right half
+    from the split output, with a white divider at the split column
+    (reference control panel split slider)."""
+    server = _stub_server(tmp_path, 7461)
+    img = server._render_split(
+        np.eye(4, dtype=np.float32)[:3], 64, 32, "rgb",
+        None, 60.0, split_output="depth", split_frac=0.5,
+    )
+    assert img.shape == (32, 64, 3)
+    assert np.allclose(img[:, :30], 0.25)
+    assert np.allclose(img[:, 34:], 0.75)
+    assert np.allclose(img[:, 31:33], 1.0)  # divider
+    # no split selected -> the plain render
+    same = server._render_split(
+        np.eye(4, dtype=np.float32)[:3], 64, 32, "rgb", None, 60.0,
+    )
+    assert np.allclose(same, 0.25)
+
+
+def test_viewer_train_control_and_stats_ws(tmp_path):
+    """Pause/resume round-trips over the websocket and live train stats
+    broadcast to connected clients (reference viewer pause-training button
+    + stats markdown)."""
+    websockets = pytest.importorskip("websockets")
+
+    paused = {"v": False}
+
+    def control(action):
+        if action == "pause":
+            paused["v"] = True
+        elif action == "resume":
+            paused["v"] = False
+        return {"paused": paused["v"], "step": 7}
+
+    port = 7471
+    server = _stub_server(tmp_path, port, train_control=control)
+    server.start(block=False)
+
+    async def connect_with_retry():
+        for _ in range(40):
+            try:
+                return await websockets.connect(
+                    f"ws://localhost:{port + 1}", max_size=None,
+                    open_timeout=30,
+                )
+            except OSError:
+                await asyncio.sleep(0.25)
+        raise TimeoutError("viewer websocket never came up")
+
+    async def drive():
+        async with await connect_with_retry() as ws:
+            hello = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert hello["type"] == "outputs"
+
+            await ws.send(json.dumps(
+                {"type": "train_control", "action": "pause"}
+            ))
+            reply = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert reply == {"type": "train_state", "paused": True, "step": 7}
+            assert paused["v"] is True
+
+            await ws.send(json.dumps(
+                {"type": "train_control", "action": "resume"}
+            ))
+            reply = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert reply["paused"] is False
+
+            # trainer-side stats push reaches the connected client
+            server.update_train_stats(
+                {"step": 42, "rays_per_sec": 1000.0, "loss": 0.5}
+            )
+            reply = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert reply["type"] == "train_stats"
+            assert reply["step"] == 42 and reply["loss"] == 0.5
+
+    asyncio.run(drive())
+
+
+def test_trainer_viewer_control_hooks(tiny_trainer):
+    """The trainer's viewer control callback drives the pause/step events
+    the train loop waits on."""
+    t = tiny_trainer
+    state = t._viewer_train_control("pause")
+    assert state["paused"] is True and t._pause_event.is_set()
+    t._viewer_train_control("step")
+    assert t._step_once.is_set()
+    t._step_once.clear()
+    state = t._viewer_train_control("resume")
+    assert state["paused"] is False and not t._pause_event.is_set()
+    assert t._step_once.is_set()  # resume wakes the wait loop
+    t._step_once.clear()
+    with pytest.raises(ValueError):
+        t._viewer_train_control("bogus")
+
+
+def test_save_path_per_transition_durations(tmp_path):
+    """Per-keyframe transition durations reach the spline export: total
+    frames == fps * sum(durations), including the loop-back segment."""
+    server = _stub_server(tmp_path, 7481)
+    k0 = np.eye(4, dtype=np.float32)[:3]
+    k1 = k0.copy(); k1[0, 3] = 1.0
+    k2 = k0.copy(); k2[1, 3] = 1.0
+    path = server.save_camera_path({
+        "keyframes": [k.tolist() for k in (k0, k1, k2)],
+        "fovs": [50.0, 60.0, 70.0],
+        "durations": [1.0, 2.0, 1.0],  # 3 segments: loop
+        "fps": 10.0,
+        "loop": True,
+    })
+    payload = json.loads(Path(path).read_text())
+    assert len(payload["camera_path"]) == 40  # 10 fps * 4 s
+    fovs = [f["fov"] for f in payload["camera_path"]]
+    assert min(fovs) >= 45.0 and max(fovs) <= 75.0
