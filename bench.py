@@ -297,6 +297,30 @@ def _probe_device(timeout: float = 30.0) -> bool:
         return False
 
 
+# set whenever a probe fails; every subsequent child spawn re-enters the
+# wait-for-recovery loop instead of hanging a child against a wedged tunnel
+# (SIGTERM'ing those children is what worsens the wedge — CLAUDE.md)
+_device_suspect = False
+
+
+def _gate_device() -> bool:
+    """Cheap pass-through when the device was healthy at last contact;
+    after any failed probe, block in the recovery loop before spawning
+    more children. Returns False when the budget ran out first."""
+    global _device_suspect
+    if not _device_suspect:
+        return True
+    if _wait_for_device():
+        _device_suspect = False
+        return True
+    return False
+
+
+def _mark_device_suspect():
+    global _device_suspect
+    _device_suspect = True
+
+
 def _wait_for_device() -> bool:
     """Probe the device BEFORE spending any candidate budget. The axon
     tunnel has twice been observed wedged (children hang in device init,
@@ -379,6 +403,10 @@ def run_eval_1080p(method_name: str) -> None:
             print(f"# eval candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
+        if not _gate_device():
+            print("# device still unreachable; stopping eval candidates",
+                  flush=True)
+            break
         try:
             out = _run_child(
                 [
@@ -395,6 +423,7 @@ def run_eval_1080p(method_name: str) -> None:
             print(f"# eval candidate {name} timed out after {cap:.0f}s",
                   flush=True)
             if not _probe_device():
+                _mark_device_suspect()
                 print("# device probe failed; stopping eval candidates",
                       flush=True)
                 break
@@ -576,6 +605,10 @@ def _run_flagship_candidates(method_name: str, metric: str, n_steps: int):
             print(f"# candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
+        if not _gate_device():
+            print("# device still unreachable; stopping candidates",
+                  flush=True)
+            break
         try:
             out = _run_child(
                 [
@@ -591,6 +624,7 @@ def _run_flagship_candidates(method_name: str, metric: str, n_steps: int):
             print(f"# candidate {name} timed out after {cap:.0f}s", flush=True)
             # never conclude "device dead" from one candidate timeout: probe
             if not _probe_device():
+                _mark_device_suspect()
                 print("# device probe failed; stopping candidates", flush=True)
                 break
         except Exception as e:  # noqa: BLE001 — candidate must not kill bench
@@ -637,6 +671,9 @@ def main():
                 print(f"# row {row} skipped ({_remaining():.0f}s left)",
                       flush=True)
                 return
+            if not _gate_device():
+                print(f"# row {row} skipped: device unreachable", flush=True)
+                return
             try:
                 out = _run_child(
                     [sys.executable, __file__, "--row", row, *extra],
@@ -648,6 +685,7 @@ def main():
             except subprocess.TimeoutExpired:
                 print(f"# row {row} timed out after {cap:.0f}s", flush=True)
                 if not _probe_device():
+                    _mark_device_suspect()
                     print("# device probe failed", flush=True)
             except Exception:
                 traceback.print_exc()
@@ -662,6 +700,24 @@ def main():
             print(f"# eval row skipped ({_remaining():.0f}s left)", flush=True)
         _row("hash", 90.0, 40.0)
         _row("datapath", 90.0, 40.0)
+        if flagship_line is None and _remaining() > 240.0 and _gate_device():
+            # every candidate CHILD failed on an alive device (child-plumbing
+            # trouble, corrupt compile cache, ...): measure the robust default
+            # in-process as a last resort so the round still gets a flagship
+            # line. Runs LAST: the parent then holds a device client, which
+            # could starve later children through the single-tenant tunnel —
+            # there are none after this. A hang here loses nothing (there was
+            # no flagship line anyway) and the driver's timeout backstops it.
+            print("# all candidate children failed; in-process fallback",
+                  flush=True)
+            try:
+                value = _measure("thermal-nerfacto-tpu", n_steps=10)
+                flagship_line = _format(
+                    "train_rays_per_sec", value, "thermal-nerfacto-tpu",
+                    note="in-process fallback (candidate children failed)",
+                )
+            except Exception:
+                traceback.print_exc()
     finally:
         if flagship_line is not None:
             print(flagship_line, flush=True)

@@ -86,15 +86,22 @@ def _quat_conj(q: np.ndarray) -> np.ndarray:
     return q * np.array([1.0, -1.0, -1.0, -1.0])
 
 
-def _squad_controls(qs: np.ndarray) -> np.ndarray:
+def _squad_controls(qs: np.ndarray, loop: bool = False) -> np.ndarray:
     """Inner quadrangle points for C1 spherical spline interpolation
     (Shoemake squad): a_i = q_i * exp(-(log(q_i^-1 q_{i+1}) +
-    log(q_i^-1 q_{i-1})) / 4)."""
+    log(q_i^-1 q_{i-1})) / 4). With loop=True neighbors wrap so the seam
+    keyframes get two-sided tangents. Neighbors are hemisphere-aligned to
+    q_i before the log (q and -q are the same rotation): consecutive
+    keyframes are pre-aligned by the caller, but the wrap pair is not."""
     n = len(qs)
     ctrl = np.zeros_like(qs)
     for i in range(n):
-        qm = qs[max(i - 1, 0)]
-        qp = qs[min(i + 1, n - 1)]
+        qm = qs[(i - 1) % n] if loop else qs[max(i - 1, 0)]
+        qp = qs[(i + 1) % n] if loop else qs[min(i + 1, n - 1)]
+        if np.dot(qs[i], qm) < 0:
+            qm = -qm
+        if np.dot(qs[i], qp) < 0:
+            qp = -qp
         inv = _quat_conj(qs[i])
         arg = -(_quat_log(_quat_mul(inv, qp)) + _quat_log(_quat_mul(inv, qm))) / 4.0
         ctrl[i] = _quat_mul(qs[i], _quat_exp(arg))
@@ -187,7 +194,7 @@ def interpolate_camera_path_spline(
     for i in range(1, k):  # hemisphere-align for stable splines
         if np.dot(qs[i - 1], qs[i]) < 0:
             qs[i] = -qs[i]
-    ctrl = _squad_controls(qs)
+    ctrl = _squad_controls(qs, loop=loop)
 
     n = max(int(round(fps * t_total)), 1)
     out_poses = np.zeros((n, 3, 4), np.float32)

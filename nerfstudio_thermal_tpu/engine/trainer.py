@@ -360,8 +360,12 @@ class Trainer:
         for step in range(self._start_step, self.config.max_num_iterations):
             # viewer pause: idle without holding train_lock so interactive
             # renders stay responsive; a 'step' grant runs one iteration
-            while self._pause_event.is_set() and not self._step_once.is_set():
-                time.sleep(0.05)
+            if self._pause_event.is_set() and not self._step_once.is_set():
+                while (self._pause_event.is_set()
+                       and not self._step_once.is_set()):
+                    time.sleep(0.05)
+                # exclude the idle time from the rays/s / ETA window
+                t_last = time.perf_counter()
             self._step_once.clear()
             self._last_logged_step = step
             with self.train_lock:

@@ -59,9 +59,10 @@ class ViewerServer:
         export_fn: Optional[Callable[..., str]] = None,
         train_control: Optional[Callable[[str], dict]] = None,
     ):
-        """render_fn(c2w [3,4], width, height, output_name, crop=None) ->
-        image [H,W,3]; crop is an optional [2,3] world AABB (the viewer crop
-        tool, reference viewer/control_panel.py).
+        """render_fn(c2w [3,4], width, height, output_name, crop=None,
+        fov=60.0) -> image [H,W,3]; crop is an optional [2,3] world AABB
+        (the viewer crop tool, reference viewer/control_panel.py), fov the
+        requested vertical field of view in degrees.
         save_dir: where exported camera paths are written (default cwd).
         export_fn(kind, crop=None) -> path: runs a geometry export
         (pointcloud/tsdf; reference viewer/export_panel.py).
@@ -209,7 +210,15 @@ class ViewerServer:
         then climb toward the requested bucket while no newer camera message
         arrives. Stale refinements are dropped; a stale COARSE frame is still
         sent (it is the freshest complete frame and keeps motion fluid)."""
+        import websockets
+
         loop = asyncio.get_running_loop()
+        try:
+            await self._progressive_body(ws, state, wake, loop)
+        except (websockets.exceptions.ConnectionClosed, OSError):
+            return  # client went away mid-render; exit without tracebacks
+
+    async def _progressive_body(self, ws, state, wake, loop):
         while True:
             await wake.wait()
             wake.clear()

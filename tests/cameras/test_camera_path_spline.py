@@ -82,3 +82,29 @@ def test_single_keyframe_repeats():
     for p in poses:
         np.testing.assert_allclose(p, kf, atol=1e-6)
     assert np.all(fovs == 50.0)
+
+
+def test_loop_orientation_smooth_at_seam():
+    """A full-orbit loop (keyframes spanning 360 degrees of yaw) must have
+    no rotation-rate spike at the wrap: the squad control points wrap their
+    neighbor indices and hemisphere-align the wrap pair (r4 review fix —
+    clamped neighbors + unaligned dot(q_last, q_0) < 0 gave long-way
+    tangents and a visible camera jerk at the seam)."""
+    kfs = [_orbit_pose(a) for a in np.linspace(0.0, 2 * np.pi, 8, endpoint=False)]
+    poses, _ = interpolate_camera_path_spline(
+        kfs, durations=[1.0] * 8, fps=20.0, loop=True
+    )
+    n = len(poses)
+    assert n == 160
+
+    def ang(a, b):
+        # relative rotation angle between consecutive frames
+        r = a[:, :3].T @ b[:, :3]
+        c = np.clip((np.trace(r) - 1) / 2, -1.0, 1.0)
+        return float(np.arccos(c))
+
+    steps = [ang(poses[j], poses[(j + 1) % n]) for j in range(n)]
+    # uniform orbit: every frame-to-frame rotation is ~2*pi/160; the seam
+    # (last->first, and frames around it) must not exceed 3x the median
+    med = float(np.median(steps))
+    assert max(steps) < 3.0 * med, (max(steps), med)

@@ -20,6 +20,8 @@ def bench(monkeypatch):
     # the deadline clock starts at module import; reset it per-test so a
     # long pytest session doesn't land here with the budget already spent
     monkeypatch.setattr(b, "_START", time.monotonic())
+    # device-suspect latch must not leak between tests
+    monkeypatch.setattr(b, "_device_suspect", False)
     return b
 
 
@@ -202,6 +204,45 @@ def test_child_runner_terminates_on_timeout(bench):
         bench._run_child(
             [sys.executable, "-c", "import time; time.sleep(60)"], timeout=1
         )
+
+
+def test_dead_probe_mid_sweep_gates_later_rows(bench, monkeypatch, capsys):
+    """Once a timeout + failed probe marks the device suspect, main() must
+    NOT keep spawning row children against the wedged tunnel (r4 review
+    fix: SIGTERM'ing device-init-hung children worsens the wedge). It
+    re-enters the recovery wait; if the device never recovers inside the
+    budget, every row is skipped and no child is spawned."""
+    spawned = []
+
+    def child(cmd, env=None, timeout=600):
+        spawned.append(cmd)
+        if "--candidate" in cmd:
+            raise subprocess.TimeoutExpired(cmd, timeout)
+        raise AssertionError(f"row child spawned on suspect device: {cmd}")
+
+    monkeypatch.setattr(bench, "_run_child", child)
+    # device healthy at the start-of-run probe, wedged from then on
+    probes = {"n": 0}
+
+    def probe(timeout=30.0):
+        probes["n"] += 1
+        return probes["n"] == 1
+
+    monkeypatch.setattr(bench, "_probe_device", probe)
+    # decaying budget so the recovery wait loops terminate
+    clock = {"left": 900.0}
+
+    def remaining():
+        clock["left"] -= 40.0
+        return clock["left"]
+
+    monkeypatch.setattr(bench, "_remaining", remaining)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench.main()
+    out = capsys.readouterr().out
+    # only the first candidate child ran; everything after was gated
+    assert [c for c in spawned if "--candidate" in c] and len(spawned) == 1
+    assert not [ln for ln in out.splitlines() if ln.startswith("{")]
 
 
 def test_child_runner_surfaces_crash_stderr(bench):

@@ -35,7 +35,8 @@ step() {  # step <name> <timeout_s> <cmd...>
   local name="$1" to="$2"; shift 2
   echo "$(date -u +%H:%M:%S) == $name (cap ${to}s) =="
   timeout "$to" "$@" > "$LOG/$name.log" 2>&1
-  echo "$(date -u +%H:%M:%S) == $name rc=$? =="
+  local rc=$?  # capture BEFORE the next command substitution clobbers $?
+  echo "$(date -u +%H:%M:%S) == $name rc=$rc =="
   tail -3 "$LOG/$name.log" | sed 's/^/    /'
   # a step may have wedged the tunnel; if so, wait for recovery before the
   # next step rather than burning its timeout on a dead device

@@ -13,16 +13,18 @@ export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_
 run() {
   echo "== $* =="
   timeout 1200 python bench.py "$@" 2>&1 | tail -2
-  echo "rc=$?"
+  echo "rc=${PIPESTATUS[0]}"  # bench.py's status, not tail's
 }
 
+# candidates and winners must mirror bench.py's _FLAGSHIP_CANDIDATES (the
+# only names main() can pass as --winner); fray-props is excluded there and
+# would warm a program the driver can never request
 run --candidate default    --method thermal-nerfacto-tpu --steps 3
 run --candidate fray-base  --method thermal-nerfacto-tpu --steps 3
-run --candidate fray-props --method thermal-nerfacto-tpu --steps 3
 run --candidate fray-field --method thermal-nerfacto-tpu --steps 3
 run --row parity --winner default
 run --row parity --winner fray-base
-run --row parity --winner fray-props
+run --row parity --winner fray-field
 run --eval-candidate default   --method thermal-nerfacto-tpu
 run --eval-candidate fray-base --method thermal-nerfacto-tpu
 run --row hash
