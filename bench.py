@@ -48,6 +48,55 @@ def _child_env(extra=None):
     return env
 
 
+# ---------------------------------------------------------------------------
+# Warm-cache stamp: the scheduler's caps assume seconds-per-program when the
+# persistent compile cache holds this source tree's programs, and minutes when
+# it does not (a VM reboot wipes /root/.cache; any HLO-affecting edit
+# invalidates entries). tools/warm_bench_cache.sh writes the stamp after
+# pre-compiling every bench program; a mismatch (or no stamp) puts main() in
+# COLD mode: fused candidates are skipped (upside-only) and the parity row
+# gets a cap that covers a cold compile — r4's tunnel wedge was precisely a
+# parity child SIGTERM'd mid-cold-compile under a warm-sized 170 s cap.
+_STAMP_PATH = os.path.join(_PCC_DIR, "WARM_STAMP")
+
+
+def _source_fingerprint() -> str:
+    """Hash of every HLO-shaping source file (the package + bench.py).
+    Conservative: edits that cannot change a compiled program still
+    invalidate, which only costs cold-mode scheduling, never a wedge."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    paths = [os.path.join(root, "bench.py")]
+    pkg = os.path.join(root, "nerfstudio_thermal_tpu")
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        paths.extend(
+            os.path.join(dirpath, fn) for fn in sorted(filenames)
+            if fn.endswith(".py")
+        )
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _write_cache_stamp() -> None:
+    os.makedirs(_PCC_DIR, exist_ok=True)
+    with open(_STAMP_PATH, "w") as f:
+        f.write(_source_fingerprint())
+
+
+def _cache_is_warm() -> bool:
+    try:
+        with open(_STAMP_PATH) as f:
+            return f.read().strip() == _source_fingerprint()
+    except OSError:
+        return False
+
+
 def build_setup(
     method_name: str, overrides=None, cameras=None, is_thermal=None,
     num_rays: int = 8192,
@@ -388,18 +437,23 @@ _EVAL_CANDIDATES = [
 ]
 
 
-def run_eval_1080p(method_name: str) -> None:
+def run_eval_1080p(method_name: str, warm: bool = True) -> None:
     """TEST_RAYS_PER_SEC / fps at 1920x1080 (reference engine/trainer.py:519-526,
     BASELINE.md north star: real-time 1080p rendering; vs_baseline = fps/30).
     Autotuned over forward-path candidates, each in a watchdogged subprocess,
-    each gated on the remaining deadline budget."""
+    each gated on the remaining deadline budget. Cold cache: default only,
+    with a floor that covers its cold compile."""
     import subprocess
     import sys
 
     results = {}
     for i, (name, _) in enumerate(_EVAL_CANDIDATES):
+        if not warm and i > 0:
+            print("# eval fused candidate skipped (cold compile cache)",
+                  flush=True)
+            break
         cap = min(180.0 if i == 0 else 120.0, _remaining() - 20.0)
-        if cap < 45.0:
+        if cap < (45.0 if warm else 150.0):
             print(f"# eval candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
@@ -588,20 +642,33 @@ def _row_main(argv):
         raise ValueError(f"unknown row {row}")
 
 
-def _run_flagship_candidates(method_name: str, metric: str, n_steps: int):
+def _run_flagship_candidates(
+    method_name: str, metric: str, n_steps: int, warm: bool = True
+):
     """Measure the flagship candidates robust-first, each in its own
     watchdogged subprocess, each gated on the remaining budget. Returns the
-    best-so-far JSON line (or None) — NEVER raises."""
+    best-so-far JSON line (or None) — NEVER raises. With a cold compile
+    cache (warm=False) only the robust default runs: the fused candidates
+    are upside-only and their cold compiles do not fit their caps, and a
+    child SIGTERM'd mid-compile risks wedging the axon tunnel for every
+    later row."""
     import subprocess
     import sys
 
     results = {}
     for i, (name, _) in enumerate(_FLAGSHIP_CANDIDATES):
+        if not warm and i > 0:
+            print("# fused candidates skipped (cold compile cache)",
+                  flush=True)
+            break
         # the robust default gets the lion's share (measured 186 s cold on
         # v5e, seconds when the persistent compile cache is warm); the fused
         # candidates only run with ample budget left
         cap = min(280.0 if i == 0 else 150.0, _remaining() - 30.0)
-        if cap < (60.0 if i == 0 else 90.0):
+        # cold floor 220: never start the default child unless a full cold
+        # compile (~186 s) plus measurement fits — a SIGTERM mid-compile is
+        # worse than no attempt (it can wedge the tunnel)
+        if cap < ((60.0 if warm else 220.0) if i == 0 else 90.0):
             print(f"# candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
@@ -653,6 +720,11 @@ def main():
     # caps are scheduled against the _BUDGET_S deadline.
     flagship_line = None
     try:
+        warm = _cache_is_warm()
+        print(f"# compile cache {'WARM' if warm else 'COLD'} "
+              f"(stamp {'matches' if warm else 'missing/stale'}: "
+              "caps sized for "
+              f"{'cached' if warm else 'full cold'} compiles)", flush=True)
         if not _wait_for_device():
             print(
                 "# device unreachable for the whole probe window; "
@@ -660,7 +732,8 @@ def main():
             )
             return
         flagship_line, winner = _run_flagship_candidates(
-            "thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30
+            "thermal-nerfacto-tpu", "train_rays_per_sec", n_steps=30,
+            warm=warm,
         )
 
         # secondary rows, priority order (parity and the 1080p capture are
@@ -690,16 +763,22 @@ def main():
             except Exception:
                 traceback.print_exc()
 
-        _row("parity", 170.0, 50.0, extra=("--winner", winner))
-        if _remaining() > 70.0:
+        # cold caps/floors cover a full cold compile (parity's program is
+        # structurally the flagship's at larger shapes, ~186 s measured for
+        # the flagship); a floor below that starts children the budget
+        # cannot let finish, and SIGTERM-mid-compile is the known tunnel
+        # wedge (r4 morning run)
+        _row("parity", 170.0 if warm else 240.0, 50.0 if warm else 210.0,
+             extra=("--winner", winner))
+        if _remaining() > (70.0 if warm else 170.0):
             try:
-                run_eval_1080p("thermal-nerfacto-tpu")
+                run_eval_1080p("thermal-nerfacto-tpu", warm=warm)
             except Exception:
                 traceback.print_exc()
         else:
             print(f"# eval row skipped ({_remaining():.0f}s left)", flush=True)
-        _row("hash", 90.0, 40.0)
-        _row("datapath", 90.0, 40.0)
+        _row("hash", 90.0, 40.0 if warm else 60.0)
+        _row("datapath", 90.0, 40.0 if warm else 60.0)
         if flagship_line is None and _remaining() > 240.0 and _gate_device():
             # every candidate CHILD failed on an alive device (child-plumbing
             # trouble, corrupt compile cache, ...): measure the robust default
@@ -728,7 +807,11 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    if "--candidate" in sys.argv:
+    if "--write-stamp" in sys.argv:
+        # tools/warm_bench_cache.sh, after all programs compiled cleanly
+        _write_cache_stamp()
+        print(f"stamp written: {_STAMP_PATH}")
+    elif "--candidate" in sys.argv:
         _candidate_main(sys.argv)
     elif "--eval-candidate" in sys.argv:
         _eval_candidate_main(sys.argv)

@@ -22,6 +22,9 @@ def bench(monkeypatch):
     monkeypatch.setattr(b, "_START", time.monotonic())
     # device-suspect latch must not leak between tests
     monkeypatch.setattr(b, "_device_suspect", False)
+    # default to warm-cache scheduling (the full candidate sweep); cold-mode
+    # tests override this explicitly
+    monkeypatch.setattr(b, "_cache_is_warm", lambda: True)
     return b
 
 
@@ -243,6 +246,77 @@ def test_dead_probe_mid_sweep_gates_later_rows(bench, monkeypatch, capsys):
     # only the first candidate child ran; everything after was gated
     assert [c for c in spawned if "--candidate" in c] and len(spawned) == 1
     assert not [ln for ln in out.splitlines() if ln.startswith("{")]
+
+
+def test_cold_cache_skips_fused_candidates(bench, monkeypatch):
+    """With no WARM stamp the fused candidates' cold compiles cannot fit
+    their caps; only the robust default may run (a child SIGTERM'd
+    mid-compile is the known tunnel wedge)."""
+    tried = []
+    vals = {n: 100000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+
+    def spy(cmd, env=None, timeout=600):
+        if "--candidate" in cmd:
+            tried.append(cmd[cmd.index("--candidate") + 1])
+        return _fake_child(vals)(cmd, env, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", spy)
+    line, winner = bench._run_flagship_candidates(
+        "m", "train_rays_per_sec", 5, warm=False
+    )
+    assert tried == ["default"]
+    assert winner == "default"
+    assert json.loads(line)["value"] == 100000.0
+
+
+def test_cold_cache_default_needs_full_compile_budget(bench, monkeypatch):
+    """Cold mode must not start even the default child without enough
+    budget for its full cold compile (~186 s measured)."""
+    tried = []
+
+    def spy(cmd, env=None, timeout=600):
+        tried.append(cmd)
+        return _fake_child(
+            {n: 1.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+        )(cmd, env, timeout)
+
+    monkeypatch.setattr(bench, "_run_child", spy)
+    monkeypatch.setattr(bench, "_remaining", lambda: 200.0)  # < 220 floor
+    line, _ = bench._run_flagship_candidates(
+        "m", "train_rays_per_sec", 5, warm=False
+    )
+    assert tried == [] and line is None
+
+
+def test_cold_main_still_prints_flagship_and_parity(bench, monkeypatch, capsys):
+    """Cold-mode main(): flagship default + parity row run; fused and eval
+    candidates are skipped; flagship prints last."""
+    vals = {n: 150000.0 for n, _ in bench._FLAGSHIP_CANDIDATES}
+    monkeypatch.setattr(bench, "_cache_is_warm", lambda: False)
+    monkeypatch.setattr(bench, "_run_child", _fake_child(vals))
+    monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: True)
+    bench.main()
+    out = capsys.readouterr().out
+    lines = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    assert lines[-1]["metric"] == "train_rays_per_sec"
+    assert "row_parity" in {l["metric"] for l in lines[:-1]}
+    assert "cache COLD" in out
+    assert "fused candidates skipped (cold compile cache)" in out
+
+
+def test_warm_stamp_roundtrip(tmp_path, monkeypatch):
+    # no fixture: this test needs the REAL _cache_is_warm
+    import bench as b
+
+    monkeypatch.setattr(b, "_PCC_DIR", str(tmp_path))
+    monkeypatch.setattr(b, "_STAMP_PATH", str(tmp_path / "WARM_STAMP"))
+    # no stamp -> cold
+    assert b._cache_is_warm() is False
+    b._write_cache_stamp()
+    assert b._cache_is_warm() is True
+    # stale stamp -> cold
+    (tmp_path / "WARM_STAMP").write_text("deadbeef")
+    assert b._cache_is_warm() is False
 
 
 def test_child_runner_surfaces_crash_stderr(bench):
