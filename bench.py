@@ -60,17 +60,29 @@ def _child_env(extra=None):
 _STAMP_PATH = os.path.join(_PCC_DIR, "WARM_STAMP")
 
 
+# package dirs that cannot shape a bench-compiled program (host-side
+# surfaces); edits there must not flip the driver bench into cold mode
+_NON_HLO_DIRS = frozenset(
+    {"viewer", "scripts", "exporter", "process_data", "generative", "plugins"}
+)
+
+
 def _source_fingerprint() -> str:
     """Hash of every HLO-shaping source file (the package + bench.py).
-    Conservative: edits that cannot change a compiled program still
-    invalidate, which only costs cold-mode scheduling, never a wedge."""
+    Conservative: edits that cannot change a compiled program (outside
+    _NON_HLO_DIRS) still invalidate, which only costs cold-mode
+    scheduling, never a wedge."""
     import hashlib
 
     root = os.path.dirname(os.path.abspath(__file__))
     paths = [os.path.join(root, "bench.py")]
     pkg = os.path.join(root, "nerfstudio_thermal_tpu")
     for dirpath, dirnames, filenames in os.walk(pkg):
-        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        dirnames[:] = sorted(
+            d for d in dirnames
+            if d != "__pycache__"
+            and not (dirpath == pkg and d in _NON_HLO_DIRS)
+        )
         paths.extend(
             os.path.join(dirpath, fn) for fn in sorted(filenames)
             if fn.endswith(".py")
