@@ -307,6 +307,10 @@ def _run_child(cmd, env=None, timeout=600) -> str:
 # and upgrades the flagship line only on success.
 _FLAGSHIP_CANDIDATES = [
     ("default", {}),
+    # save-acts: fused-MLP backward streams the forward's activations
+    # instead of recomputing them (~1/3 of the bwd kernel's MXU work for
+    # HBM traffic that overlaps compute) — config-identical, env-gated
+    ("default-sa", {}),
     ("fray-base", {"fused_raymarch": True}),  # r3: 180.9k vs 178.0k off
     ("fray-field", {"fused_raymarch": True, "fused_field": True}),
 ]
@@ -322,7 +326,7 @@ _EXCLUDED_CANDIDATES = {
 }
 
 # extra environment per candidate (subprocess-only)
-_CANDIDATE_ENV = {}
+_CANDIDATE_ENV = {"default-sa": {"NS_FMLP_SAVE_ACTS": "1"}}
 
 
 def _probe_device(timeout: float = 30.0) -> bool:
@@ -750,7 +754,7 @@ def main():
 
         # secondary rows, priority order (parity and the 1080p capture are
         # VERDICT r3 done-criteria), each gated on remaining budget
-        def _row(row, cap_s, floor_s, extra=()):
+        def _row(row, cap_s, floor_s, extra=(), env_extra=None):
             cap = min(cap_s, _remaining() - 25.0)
             if cap < floor_s:
                 print(f"# row {row} skipped ({_remaining():.0f}s left)",
@@ -762,7 +766,7 @@ def main():
             try:
                 out = _run_child(
                     [sys.executable, __file__, "--row", row, *extra],
-                    env=_child_env(), timeout=cap,
+                    env=_child_env(env_extra), timeout=cap,
                 )
                 for ln in out.splitlines():
                     if ln.startswith("{"):
@@ -781,7 +785,8 @@ def main():
         # cannot let finish, and SIGTERM-mid-compile is the known tunnel
         # wedge (r4 morning run)
         _row("parity", 170.0 if warm else 240.0, 50.0 if warm else 210.0,
-             extra=("--winner", winner))
+             extra=("--winner", winner),
+             env_extra=_CANDIDATE_ENV.get(winner))
         if _remaining() > (70.0 if warm else 170.0):
             try:
                 run_eval_1080p("thermal-nerfacto-tpu", warm=warm)

@@ -18,6 +18,7 @@ accumulation (preferred_element_type).
 """
 
 import functools
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -217,6 +218,91 @@ def _fwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, re
     out_ref[:] = h.astype(out_ref.dtype)
 
 
+def _fwd_save_kernel(
+    num_layers, activation, out_activation, skips, freq_encoding, refs
+):
+    """Forward that also streams the hidden post-activations (layers
+    0..n-2) to HBM so the backward can skip the full forward recompute —
+    trading ~1/3 of the backward kernel's MXU work for HBM traffic that
+    overlaps compute (refs: x, w*, b*, out, act*)."""
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + num_layers]
+    b_refs = refs[1 + num_layers : 1 + 2 * num_layers]
+    out_ref = refs[1 + 2 * num_layers]
+    act_refs = refs[2 + 2 * num_layers :]
+
+    cdt = w_refs[0].dtype
+    if freq_encoding is not None:
+        enc, _ = _encode(x_ref[:].astype(jnp.float32), freq_encoding, x_ref.shape[-1])
+        x0 = enc.astype(cdt)
+    else:
+        x0 = x_ref[:].astype(cdt)
+    post_acts, _ = _mlp_fwd_save(
+        x0, w_refs, b_refs, num_layers, activation, out_activation, skips
+    )
+    for li in range(num_layers - 1):
+        act_refs[li][:] = post_acts[li]
+    out_ref[:] = post_acts[-1].astype(out_ref.dtype)
+
+
+def _bwd_saved_kernel(
+    num_layers, activation, out_activation, skips, freq_encoding, refs
+):
+    """Backward from streamed activations: no forward recompute (only the
+    cheap in-kernel encoding, one [blk, in_dim] matmul + sin/cos, and — for
+    a sigmoid head — the final layer's pre-activation). Refs layout:
+    inputs (x, g, act0..act{n-2}, w0..wn, b0..bn) then outputs
+    (dx, dw0..n, db0..n)."""
+    n = num_layers
+    x_ref = refs[0]
+    g_ref = refs[1]
+    act_refs = refs[2 : 1 + n]  # n-1 hidden activations
+    w_refs = refs[1 + n : 1 + 2 * n]
+    b_refs = refs[1 + 2 * n : 1 + 3 * n]
+    dx_ref = refs[1 + 3 * n]
+    dw_refs = refs[2 + 3 * n : 2 + 4 * n]
+    db_refs = refs[2 + 4 * n : 2 + 5 * n]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for li in range(num_layers):
+            dw_refs[li][:] = jnp.zeros_like(dw_refs[li])
+            db_refs[li][:] = jnp.zeros_like(db_refs[li])
+
+    cdt = w_refs[0].dtype
+    if freq_encoding is not None:
+        raw = x_ref[:].astype(jnp.float32)
+        enc, pre_enc = _encode(raw, freq_encoding, x_ref.shape[-1])
+        x0 = enc.astype(cdt)
+    else:
+        x0 = x_ref[:].astype(cdt)
+    # the last layer's post-activation is only consumed by the relu mask
+    # (never taken for li == n-1) and, via final_pre, by a sigmoid head —
+    # reconstruct the latter with a single matmul instead of streaming it
+    post_acts = [a[:] for a in act_refs] + [None]
+    final_pre = None
+    if out_activation == "sigmoid":
+        h_last = post_acts[n - 2] if n > 1 else x0
+        if (n - 1) in skips and n != 1:
+            h_last = jnp.concatenate([x0, h_last], axis=-1)
+        final_pre = (
+            jnp.dot(
+                h_last, w_refs[n - 1][:], preferred_element_type=jnp.float32,
+                precision=dot_precision(h_last, w_refs[n - 1]),
+            )
+            + b_refs[n - 1][:].astype(jnp.float32)
+        )
+    dx_accum = _mlp_bwd_from_saved(
+        x0, g_ref[:], post_acts, final_pre, w_refs, b_refs, dw_refs, db_refs,
+        num_layers, activation, out_activation, skips,
+    )
+    if freq_encoding is not None:
+        dx_accum = _encode_bwd(raw, pre_enc, dx_accum, freq_encoding, x_ref.shape[-1])
+    dx_ref[:] = dx_accum.astype(dx_ref.dtype)
+
+
 def _bwd_kernel(num_layers, activation, out_activation, skips, freq_encoding, refs):
     # refs = inputs (x, g, w0..wn, b0..bn) then outputs (dx, dw0..n, db0..n)
     n = num_layers
@@ -262,6 +348,15 @@ def _pad_batch(x, blk):
     return x, n
 
 
+def _SAVE_ACTS() -> bool:
+    """Trade the backward kernel's full forward recompute (1/3 of its MXU
+    work) for streaming the forward's hidden activations through HBM.
+    Read at trace time by the VJP forward only — the backward keys off the
+    residuals, so a traced fwd/bwd pair can never disagree. Flipped
+    per-subprocess by the bench autotune candidates."""
+    return os.environ.get("NS_FMLP_SAVE_ACTS", "0") == "1"
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9)
 )
@@ -296,15 +391,19 @@ def fused_mlp(
     )
 
 
-def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_size, interpret, skips=(), freq_encoding=None, compute_dtype=None):
+def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_size, interpret, skips=(), freq_encoding=None, compute_dtype=None, save_acts=False):
     num_layers = len(weights)
     out_dim = weights[-1].shape[-1]
     dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
+    act_bytes = 2 if dtype == jnp.bfloat16 else 4
     # fwd VMEM: f32 pre-activations [blk, width] + bf16 h + encoding temps
     width = max(w.shape[-1] for w in weights)
     per_point = width * 6
     if freq_encoding is not None:
         per_point += 4 * 1024  # lane-padded f32 encoding temps (see bwd)
+    if save_acts:
+        # hidden activations become double-buffered output windows
+        per_point += 2 * act_bytes * sum(w.shape[-1] for w in weights[:-1])
     block_size = min(
         block_size, max(512, (24 * 2**20) // max(per_point, 1) // 512 * 512)
     )
@@ -314,8 +413,9 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
     w_cast = [w.astype(dtype) for w in weights]
     b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
 
+    kernel_fn = _fwd_save_kernel if save_acts else _fwd_kernel
     kernel = functools.partial(
-        lambda *refs: _fwd_kernel(
+        lambda *refs: kernel_fn(
             num_layers, activation, out_activation, tuple(skips),
             freq_encoding, refs,
         )
@@ -331,14 +431,28 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
         in_specs.append(
             pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         )
+    out_specs = pl.BlockSpec(
+        (block_size, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((npad, out_dim), dtype)
+    if save_acts:
+        out_specs = [out_specs] + [
+            pl.BlockSpec(
+                (block_size, w.shape[-1]), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for w in w_cast[:-1]
+        ]
+        out_shape = [out_shape] + [
+            jax.ShapeDtypeStruct((npad, w.shape[-1]), dtype)
+            for w in w_cast[:-1]
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(npad // block_size,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (block_size, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((npad, out_dim), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         # parallel: point blocks are independent -> Mosaic may pipeline the
         # per-block input DMA against compute across grid steps
@@ -347,19 +461,29 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
             dimension_semantics=("parallel",),
         ),
     )(xp, *w_cast, *b_cast)
+    if save_acts:
+        # activations stay PADDED (the bwd re-pads to its own block size)
+        return out[0][:n], list(out[1:])
     return out[:n]
 
 
 def _fused_mlp_fwd(x, weights, biases, activation, out_activation, block_size, interpret, skip_connections=(), freq_encoding=None, compute_dtype=None):
+    if _SAVE_ACTS():
+        out, acts = _fused_mlp_fwd_impl(
+            x, weights, biases, activation, out_activation, block_size,
+            interpret, skip_connections, freq_encoding, compute_dtype,
+            save_acts=True,
+        )
+        return out, (x, weights, biases, tuple(acts))
     out = _fused_mlp_fwd_impl(
         x, weights, biases, activation, out_activation, block_size, interpret,
         skip_connections, freq_encoding, compute_dtype,
     )
-    return out, (x, weights, biases)
+    return out, (x, weights, biases, None)
 
 
 def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_connections, freq_encoding, compute_dtype, res, g):
-    x, weights, biases = res
+    x, weights, biases, acts = res
     num_layers = len(weights)
     dtype = jnp.dtype(compute_dtype) if compute_dtype is not None else x.dtype
     # The bwd kernel holds per-layer activations in VMEM; shrink the block so
@@ -367,6 +491,10 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
     width = max(w.shape[-1] for w in weights)
     act_bytes = 2 if dtype == jnp.bfloat16 else 4
     per_point = num_layers * width * act_bytes
+    if acts is not None:
+        # streamed activations are double-buffered input windows on top of
+        # the VMEM-resident values the backward walk holds anyway
+        per_point += act_bytes * sum(a.shape[-1] for a in acts)
     if freq_encoding is not None:
         # In-kernel encoding recompute keeps ~a dozen [blk, <=128-lane] f32
         # temps alive (raw, pre, sin, cos, d_enc slices, dx); every narrow
@@ -375,8 +503,6 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
         per_point += 8 * 1024
     # activations get ~1/3 of VMEM: weights + f32 dh/dw/dx + in/out blocks
     # share the rest (measured: 5 MB fits for 8x256 stacks)
-    import os
-
     budget = int(os.environ.get("NS_FMLP_BWD_BUDGET_MB", "5")) * 1024 * 1024
     block_size = min(
         block_size,
@@ -389,9 +515,13 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
 
     w_cast = [w.astype(dtype) for w in weights]
     b_cast = [b.reshape(1, -1).astype(dtype) for b in biases]
+    acts_p = (
+        [_pad_batch(a, block_size)[0] for a in acts] if acts is not None else []
+    )
 
+    kernel_fn = _bwd_saved_kernel if acts is not None else _bwd_kernel
     kernel = functools.partial(
-        lambda *refs: _bwd_kernel(
+        lambda *refs: kernel_fn(
             num_layers, activation, out_activation, tuple(skip_connections),
             freq_encoding, refs,
         )
@@ -400,6 +530,10 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
         pl.BlockSpec((block_size, xp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((block_size, gp.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
+    for a in acts_p:
+        in_specs.append(
+            pl.BlockSpec((block_size, a.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
     for w in w_cast:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
     for b in b_cast:
@@ -432,7 +566,7 @@ def _fused_mlp_bwd(activation, out_activation, block_size, interpret, skip_conne
             vmem_limit_bytes=64 * 2**20,
             dimension_semantics=("arbitrary",),
         ),
-    )(xp, gp, *w_cast, *b_cast)
+    )(xp, gp, *acts_p, *w_cast, *b_cast)
 
     dx = outs[0][:n].astype(x.dtype)
     dws = tuple(

@@ -110,6 +110,79 @@ def test_fused_mlp_skip_connections():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("out_act", [None, "sigmoid"])
+def test_fused_mlp_save_acts_matches_recompute(monkeypatch, out_act):
+    """NS_FMLP_SAVE_ACTS=1 streams the forward's hidden activations to the
+    backward instead of recomputing them — gradients must match the
+    recompute path bit-for-bit-ish (same ops, same dtypes) and the XLA
+    reference, including skip connections and a batch that is not a
+    multiple of the block size."""
+    from nerfstudio_thermal_tpu.ops.pallas import fused_mlp as fm
+
+    dims = (8, 16, 16, 16, 4)
+    ws, bs = [], []
+    key = jax.random.PRNGKey(11)
+    for i in range(4):
+        din = dims[i] + (dims[0] if i == 2 else 0)  # skip at layer 2
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(jax.random.normal(k1, (din, dims[i + 1])) * 0.3)
+        bs.append(jax.random.normal(k2, (dims[i + 1],)) * 0.1)
+    ws, bs = tuple(ws), tuple(bs)
+    x = jax.random.normal(jax.random.PRNGKey(12), (50, 8))
+
+    def loss(x, ws, bs):
+        return jnp.sum(
+            fused_mlp(x, ws, bs, "relu", out_act, 16, True, (2,)) ** 2
+        )
+
+    monkeypatch.setattr(fm, "_SAVE_ACTS", lambda: False)
+    base = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
+    out_base = fused_mlp(x, ws, bs, "relu", out_act, 16, True, (2,))
+    monkeypatch.setattr(fm, "_SAVE_ACTS", lambda: True)
+    saved = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
+    out_saved = fused_mlp(x, ws, bs, "relu", out_act, 16, True, (2,))
+    np.testing.assert_allclose(
+        np.asarray(out_saved), np.asarray(out_base), rtol=1e-6, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(base)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_mlp_save_acts_with_freq_encoding(monkeypatch):
+    """Save-acts path with the in-kernel NeRF frequency encoding: dx must
+    flow through the recomputed encoding exactly as in recompute mode."""
+    from nerfstudio_thermal_tpu.ops.pallas import fused_mlp as fm
+
+    enc = (4, 0.0, 3.0, True)  # num_freqs, min_exp, max_exp, include_input
+    in_dim, enc_dim = 3, 3 * 2 * 4 + 3
+    dims = (enc_dim, 32, 32, 8)
+    ws, bs = [], []
+    key = jax.random.PRNGKey(13)
+    for i in range(3):
+        din = dims[i] + (enc_dim if i == 2 else 0)  # skip at layer 2
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(jax.random.normal(k1, (din, dims[i + 1])) * 0.3)
+        bs.append(jax.random.normal(k2, (dims[i + 1],)) * 0.1)
+    ws, bs = tuple(ws), tuple(bs)
+    x = jax.random.normal(jax.random.PRNGKey(14), (40, in_dim))
+
+    def loss(x, ws, bs):
+        return jnp.sum(
+            fused_mlp(x, ws, bs, "relu", None, 16, True, (2,), enc) ** 2
+        )
+
+    monkeypatch.setattr(fm, "_SAVE_ACTS", lambda: False)
+    base = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
+    monkeypatch.setattr(fm, "_SAVE_ACTS", lambda: True)
+    saved = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
+    for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(base)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 # ---------------------------------------------------------------------------
 # fused_ray_mlp: positions + contraction + encoding + MLP in one kernel
 # ---------------------------------------------------------------------------

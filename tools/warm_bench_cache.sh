@@ -26,9 +26,13 @@ critical() {  # programs whose warmth bench.py's WARM-mode caps rely on
 # only names main() can pass as --winner); fray-props is excluded there and
 # would warm a program the driver can never request
 critical --candidate default    --method thermal-nerfacto-tpu --steps 3
+NS_FMLP_SAVE_ACTS=1 \
+critical --candidate default-sa --method thermal-nerfacto-tpu --steps 3
 critical --candidate fray-base  --method thermal-nerfacto-tpu --steps 3
 critical --candidate fray-field --method thermal-nerfacto-tpu --steps 3
 critical --row parity --winner default
+NS_FMLP_SAVE_ACTS=1 \
+critical --row parity --winner default-sa
 critical --row parity --winner fray-base
 critical --row parity --winner fray-field
 critical --eval-candidate default   --method thermal-nerfacto-tpu
