@@ -91,20 +91,39 @@ def _apply_act(h, name: Optional[str]):
     raise ValueError(f"unsupported activation {name}")
 
 
+def _layer_pre(x0, h, w_ref, b_ref, li, skips):
+    """Layer li's pre-activation (f32), skip-aware. With _SPLIT_SKIP the
+    concat([x0, h]) @ W becomes x0 @ W_top + h @ W_bot: identical MXU work
+    (the narrow encoding pads to a full 128 contraction tile either way)
+    but no misaligned-lane concat on a [blk, in+width] buffer."""
+    w = w_ref[:]
+    if li in skips and li != 0:
+        if _SPLIT_SKIP():
+            in_dim = x0.shape[-1]
+            pre = jnp.dot(
+                x0, w[:in_dim], preferred_element_type=jnp.float32,
+                precision=dot_precision(x0, w),
+            ) + jnp.dot(
+                h, w[in_dim:], preferred_element_type=jnp.float32,
+                precision=dot_precision(h, w),
+            )
+            return pre + b_ref[:].astype(jnp.float32)
+        h = jnp.concatenate([x0, h], axis=-1)
+    return (
+        jnp.dot(
+            h, w, preferred_element_type=jnp.float32,
+            precision=dot_precision(h, w),
+        )
+        + b_ref[:].astype(jnp.float32)
+    )
+
+
 def _mlp_fwd_core(x0, w_refs, b_refs, num_layers, activation, out_activation, skips):
     """Forward MLP loop on an already-encoded VMEM block x0 (compute dtype)."""
     cdt = x0.dtype
     h = x0
     for li in range(num_layers):
-        if li in skips and li != 0:
-            h = jnp.concatenate([x0, h], axis=-1)
-        h = (
-            jnp.dot(
-                h, w_refs[li][:], preferred_element_type=jnp.float32,
-                precision=dot_precision(h, w_refs[li]),
-            )
-            + b_refs[li][:].astype(jnp.float32)
-        )
+        h = _layer_pre(x0, h, w_refs[li], b_refs[li], li, skips)
         if li < num_layers - 1:
             h = _apply_act(h, activation)
         else:
@@ -121,15 +140,7 @@ def _mlp_fwd_save(x0, w_refs, b_refs, num_layers, activation, out_activation, sk
     post_acts = []  # activated output of each layer, compute dtype
     final_pre = None
     for li in range(num_layers):
-        if li in skips and li != 0:
-            h = jnp.concatenate([x0, h], axis=-1)
-        pre = (
-            jnp.dot(
-                h, w_refs[li][:], preferred_element_type=jnp.float32,
-                precision=dot_precision(h, w_refs[li]),
-            )
-            + b_refs[li][:].astype(jnp.float32)
-        )
+        pre = _layer_pre(x0, h, w_refs[li], b_refs[li], li, skips)
         if li < num_layers - 1:
             h = _apply_act(pre, activation).astype(cdt)
         else:
@@ -147,12 +158,7 @@ def _mlp_bwd_from_saved(
     VMEM-resident output refs, return d_x0 (f32)."""
     cdt = x0.dtype
     in_dim = x0.shape[-1]
-
-    def layer_input(li):
-        h_prev = x0 if li == 0 else post_acts[li - 1]
-        if li in skips and li != 0:
-            return jnp.concatenate([x0, h_prev], axis=-1)
-        return h_prev
+    split = _SPLIT_SKIP()
 
     dx_accum = jnp.zeros_like(x0, dtype=jnp.float32)
     dh = g.astype(jnp.float32)
@@ -163,24 +169,53 @@ def _mlp_bwd_from_saved(
         if li < num_layers - 1 and activation == "relu":
             # f32 compare: sub-word comparisons are unsupported by Mosaic
             dh = dh * (post_acts[li].astype(jnp.float32) > 0.0)
-        x_in = layer_input(li).astype(cdt)
+        h_prev = x0 if li == 0 else post_acts[li - 1]
         dhc = dh.astype(cdt)
-        # batch-contracting dot_general == x_in.T @ dhc without asking Mosaic
-        # to materialize a [width, blk] transpose first
-        dw_refs[li][:] += jax.lax.dot_general(
-            x_in, dhc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision(x_in, dhc),
-        )
         db_refs[li][:] += jnp.sum(dh, axis=0, keepdims=True)
-        dh = jnp.dot(
-            dhc, w_refs[li][:].T, preferred_element_type=jnp.float32,
-            precision=dot_precision(dhc, w_refs[li]),
-        )
-        if li in skips and li != 0:
-            # layer input was concat([x0, h_prev]); split the gradient
-            dx_accum = dx_accum + dh[:, :in_dim]
-            dh = dh[:, in_dim:]
+        is_skip = li in skips and li != 0
+        if is_skip and split:
+            # dW as two batch-contracting dots + a weight-sized concat; dh
+            # split as two dots against the weight halves — no [blk, in+w]
+            # misaligned buffers anywhere
+            w = w_refs[li][:]
+            dw_top = jax.lax.dot_general(
+                x0.astype(cdt), dhc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(x0, dhc),
+            )
+            dw_bot = jax.lax.dot_general(
+                h_prev.astype(cdt), dhc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(h_prev, dhc),
+            )
+            dw_refs[li][:] += jnp.concatenate([dw_top, dw_bot], axis=0)
+            dx_accum = dx_accum + jnp.dot(
+                dhc, w[:in_dim].T, preferred_element_type=jnp.float32,
+                precision=dot_precision(dhc, w),
+            )
+            dh = jnp.dot(
+                dhc, w[in_dim:].T, preferred_element_type=jnp.float32,
+                precision=dot_precision(dhc, w),
+            )
+        else:
+            x_in = (
+                jnp.concatenate([x0, h_prev], axis=-1) if is_skip else h_prev
+            ).astype(cdt)
+            # batch-contracting dot_general == x_in.T @ dhc without asking
+            # Mosaic to materialize a [width, blk] transpose first
+            dw_refs[li][:] += jax.lax.dot_general(
+                x_in, dhc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision(x_in, dhc),
+            )
+            dh = jnp.dot(
+                dhc, w_refs[li][:].T, preferred_element_type=jnp.float32,
+                precision=dot_precision(dhc, w_refs[li]),
+            )
+            if is_skip:
+                # layer input was concat([x0, h_prev]); split the gradient
+                dx_accum = dx_accum + dh[:, :in_dim]
+                dh = dh[:, in_dim:]
         if li == 0:
             dx_accum = dx_accum + dh
     return dx_accum
@@ -285,14 +320,8 @@ def _bwd_saved_kernel(
     final_pre = None
     if out_activation == "sigmoid":
         h_last = post_acts[n - 2] if n > 1 else x0
-        if (n - 1) in skips and n != 1:
-            h_last = jnp.concatenate([x0, h_last], axis=-1)
-        final_pre = (
-            jnp.dot(
-                h_last, w_refs[n - 1][:], preferred_element_type=jnp.float32,
-                precision=dot_precision(h_last, w_refs[n - 1]),
-            )
-            + b_refs[n - 1][:].astype(jnp.float32)
+        final_pre = _layer_pre(
+            x0, h_last, w_refs[n - 1], b_refs[n - 1], n - 1, skips
         )
     dx_accum = _mlp_bwd_from_saved(
         x0, g_ref[:], post_acts, final_pre, w_refs, b_refs, dw_refs, db_refs,
@@ -355,6 +384,18 @@ def _SAVE_ACTS() -> bool:
     residuals, so a traced fwd/bwd pair can never disagree. Flipped
     per-subprocess by the bench autotune candidates."""
     return os.environ.get("NS_FMLP_SAVE_ACTS", "0") == "1"
+
+
+def _SPLIT_SKIP() -> bool:
+    """Compute skip layers as two matmuls (x0 @ W_top + h @ W_bot) instead
+    of concat([x0, h]) @ W. The concat writes a [blk, in+width] buffer whose
+    misaligned lane offset (e.g. 63 for the 8x256+enc base stack) costs
+    cross-lane shuffles on every [blk, *] tensor it touches — forward
+    concat, backward recompute concat, and the dh/dx gradient slices. The
+    split form moves every misaligned op onto weight-sized tensors. MXU
+    work is identical (63 pads to a 128 contraction tile either way).
+    Trace-time read; same value seen by fwd and bwd of one trace."""
+    return os.environ.get("NS_FMLP_SPLIT_SKIP", "0") == "1"
 
 
 @functools.partial(

@@ -110,13 +110,15 @@ def test_fused_mlp_skip_connections():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("split_skip", [False, True])
 @pytest.mark.parametrize("out_act", [None, "sigmoid"])
-def test_fused_mlp_save_acts_matches_recompute(monkeypatch, out_act):
+def test_fused_mlp_save_acts_matches_recompute(monkeypatch, out_act, split_skip):
     """NS_FMLP_SAVE_ACTS=1 streams the forward's hidden activations to the
-    backward instead of recomputing them — gradients must match the
-    recompute path bit-for-bit-ish (same ops, same dtypes) and the XLA
-    reference, including skip connections and a batch that is not a
-    multiple of the block size."""
+    backward instead of recomputing them; NS_FMLP_SPLIT_SKIP=1 computes
+    skip layers as two matmuls instead of a misaligned concat. Every
+    combination must match the baseline path (grads + outputs), including
+    skip connections and a batch that is not a multiple of the block
+    size."""
     from nerfstudio_thermal_tpu.ops.pallas import fused_mlp as fm
 
     dims = (8, 16, 16, 16, 4)
@@ -136,15 +138,45 @@ def test_fused_mlp_save_acts_matches_recompute(monkeypatch, out_act):
         )
 
     monkeypatch.setattr(fm, "_SAVE_ACTS", lambda: False)
+    monkeypatch.setattr(fm, "_SPLIT_SKIP", lambda: False)
     base = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
     out_base = fused_mlp(x, ws, bs, "relu", out_act, 16, True, (2,))
     monkeypatch.setattr(fm, "_SAVE_ACTS", lambda: True)
+    monkeypatch.setattr(fm, "_SPLIT_SKIP", lambda: split_skip)
     saved = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
     out_saved = fused_mlp(x, ws, bs, "relu", out_act, 16, True, (2,))
     np.testing.assert_allclose(
-        np.asarray(out_saved), np.asarray(out_base), rtol=1e-6, atol=1e-6
+        np.asarray(out_saved), np.asarray(out_base), rtol=1e-5, atol=1e-6
     )
     for a, b in zip(jax.tree.leaves(saved), jax.tree.leaves(base)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_fused_mlp_split_skip_recompute_path(monkeypatch):
+    """Split-skip with the default recompute backward (no save-acts)."""
+    from nerfstudio_thermal_tpu.ops.pallas import fused_mlp as fm
+
+    dims = (8, 16, 16, 16, 4)
+    ws, bs = [], []
+    key = jax.random.PRNGKey(21)
+    for i in range(4):
+        din = dims[i] + (dims[0] if i == 2 else 0)
+        key, k1, k2 = jax.random.split(key, 3)
+        ws.append(jax.random.normal(k1, (din, dims[i + 1])) * 0.3)
+        bs.append(jax.random.normal(k2, (dims[i + 1],)) * 0.1)
+    ws, bs = tuple(ws), tuple(bs)
+    x = jax.random.normal(jax.random.PRNGKey(22), (50, 8))
+
+    def loss(x, ws, bs):
+        return jnp.sum(fused_mlp(x, ws, bs, "relu", None, 16, True, (2,)) ** 2)
+
+    monkeypatch.setattr(fm, "_SPLIT_SKIP", lambda: False)
+    base = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
+    monkeypatch.setattr(fm, "_SPLIT_SKIP", lambda: True)
+    got = jax.grad(loss, argnums=(0, 1, 2))(x, ws, bs)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(base)):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
