@@ -312,7 +312,6 @@ _FLAGSHIP_CANDIDATES = [
     # HBM traffic that overlaps compute) — config-identical, env-gated
     ("default-sa", {}),
     ("fray-base", {"fused_raymarch": True}),  # r3: 180.9k vs 178.0k off
-    ("fray-field", {"fused_raymarch": True, "fused_field": True}),
 ]
 
 # Measured and excluded (r4, live v5e, parallel backward — input grads OFF):
@@ -321,8 +320,14 @@ _FLAGSHIP_CANDIDATES = [
 # the kernel boundary breaking XLA's fusion of the surrounding resampling
 # chain (same failure mode as the r3 color-head fusion), NOT the backward
 # schedule — so the candidate is dropped rather than re-swept each round.
+# fray-field (fused_field megakernel) is demoted to manual sweeps
+# (tools/tpu_sweep_r3.sh): fused-raymarch programs cold-compile in >20 min
+# on this terminal (warm run 2026-08-19, rc=124 at a 1200 s cap), so each
+# candidate slot must earn its warm-script cost and fray-base already
+# carries the fused-raymarch bet.
 _EXCLUDED_CANDIDATES = {
     "fray-props": {"fused_raymarch": True, "fused_raymarch_proposals": True},
+    "fray-field": {"fused_raymarch": True, "fused_field": True},
 }
 
 # extra environment per candidate (subprocess-only)

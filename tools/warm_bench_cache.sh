@@ -11,9 +11,10 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_pcc}"
 
 CRITICAL_FAILED=0
-run() {
-  echo "== $* =="
-  timeout 1200 python bench.py "$@" 2>&1 | tail -2
+run() {  # run <timeout_s> <bench args...>
+  local to="$1"; shift
+  echo "== $* (cap ${to}s) =="
+  timeout "$to" python bench.py "$@" 2>&1 | tail -2
   local rc=${PIPESTATUS[0]}
   echo "rc=$rc"  # bench.py's status, not tail's
   return "$rc"
@@ -23,22 +24,23 @@ critical() {  # programs whose warmth bench.py's WARM-mode caps rely on
 }
 
 # candidates and winners must mirror bench.py's _FLAGSHIP_CANDIDATES (the
-# only names main() can pass as --winner); fray-props is excluded there and
-# would warm a program the driver can never request
-critical --candidate default    --method thermal-nerfacto-tpu --steps 3
+# only names main() can pass as --winner); fray-props/fray-field are
+# excluded there and would warm programs the driver can never request.
+# Fused-raymarch (fray-*) programs cold-compile in >20 min on this terminal
+# (measured 2026-08-19: rc=124 at a 1200 s cap) — give them caps they can
+# finish inside; a SIGTERM mid-compile is the known tunnel wedge.
+critical 1200 --candidate default    --method thermal-nerfacto-tpu --steps 3
 NS_FMLP_SAVE_ACTS=1 \
-critical --candidate default-sa --method thermal-nerfacto-tpu --steps 3
-critical --candidate fray-base  --method thermal-nerfacto-tpu --steps 3
-critical --candidate fray-field --method thermal-nerfacto-tpu --steps 3
-critical --row parity --winner default
+critical 1200 --candidate default-sa --method thermal-nerfacto-tpu --steps 3
+critical 3000 --candidate fray-base  --method thermal-nerfacto-tpu --steps 3
+critical 1200 --row parity --winner default
 NS_FMLP_SAVE_ACTS=1 \
-critical --row parity --winner default-sa
-critical --row parity --winner fray-base
-critical --row parity --winner fray-field
-critical --eval-candidate default   --method thermal-nerfacto-tpu
-critical --eval-candidate fray-base --method thermal-nerfacto-tpu
-run --row hash
-run --row datapath
+critical 1200 --row parity --winner default-sa
+critical 3000 --row parity --winner fray-base
+critical 1200 --eval-candidate default   --method thermal-nerfacto-tpu
+critical 3000 --eval-candidate fray-base --method thermal-nerfacto-tpu
+run 1200 --row hash
+run 1200 --row datapath
 echo "cache entries: $(ls "$JAX_COMPILATION_CACHE_DIR" | wc -l)"
 
 # The WARM stamp switches bench.py into warm-mode scheduling (short caps,
