@@ -321,10 +321,11 @@ _FLAGSHIP_CANDIDATES = [
 # chain (same failure mode as the r3 color-head fusion), NOT the backward
 # schedule — so the candidate is dropped rather than re-swept each round.
 # fray-field (fused_field megakernel) is demoted to manual sweeps
-# (tools/tpu_sweep_r3.sh): fused-raymarch programs cold-compile in >20 min
-# on this terminal (warm run 2026-08-19, rc=124 at a 1200 s cap), so each
-# candidate slot must earn its warm-script cost and fray-base already
-# carries the fused-raymarch bet.
+# (tools/tpu_sweep_r3.sh): measured LOSING live on 2026-08-19 (143.3k vs
+# default 149.8k rays/s, same warm run), while fray-base — the r3 winner —
+# timed out compiling at a 1200 s cap in that run; each candidate slot
+# must earn its warm-script cost and fray-base already carries the
+# fused-raymarch bet.
 _EXCLUDED_CANDIDATES = {
     "fray-props": {"fused_raymarch": True, "fused_raymarch_proposals": True},
     "fray-field": {"fused_raymarch": True, "fused_field": True},
