@@ -27,7 +27,13 @@ A100_BASELINE_RAYS_PER_SEC = 200_000.0
 # Hard wall-clock budget for the whole bench (the driver's own timeout killed
 # round 3 at rc=124 with no flagship line; everything here is scheduled
 # against this deadline and the flagship line is printed from a finally).
-_BUDGET_S = float(os.environ.get("NS_BENCH_BUDGET", 460))
+# 1200 s: BENCH_r03's tail proves the driver let >=~1900 s elapse (a 600 s
+# candidate plus completed hash+parity rows plus two 420 s eval timeouts)
+# before killing, and the r4 run finished rc=0 at 460 — so 1200 keeps a
+# ~700 s safety margin while giving slow terminals (cold compiles vary
+# 3x between sessions, ~190 s to ~600 s for the flagship program) room to
+# finish the must-have rows.
+_BUDGET_S = float(os.environ.get("NS_BENCH_BUDGET", 1200))
 _START = time.monotonic()
 
 
@@ -335,6 +341,20 @@ _EXCLUDED_CANDIDATES = {
 _CANDIDATE_ENV = {"default-sa": {"NS_FMLP_SAVE_ACTS": "1"}}
 
 
+# Wall time of the first successful probe (device init + tiny-matmul
+# compile, no persistent cache): ~4-6 s on a fast terminal, 15+ s when the
+# session landed on a slow tunnel. Cold compiles of the big programs scale
+# roughly with it (~190 s to ~600 s for the flagship program across
+# observed sessions), so COLD-mode caps/floors multiply by _terminal_scale.
+_PROBE_COLD_S = None
+
+
+def _terminal_scale() -> float:
+    if _PROBE_COLD_S is None:
+        return 1.0
+    return min(max(_PROBE_COLD_S / 5.0, 1.0), 3.0)
+
+
 def _probe_device(timeout: float = 30.0) -> bool:
     """Tiny-matmul child: is the TPU actually reachable right now? A single
     candidate timeout must NOT be read as a dead device (r3's breakout
@@ -344,17 +364,22 @@ def _probe_device(timeout: float = 30.0) -> bool:
     import subprocess
     import sys
 
+    global _PROBE_COLD_S
+
     code = (
         "import jax, jax.numpy as jnp;"
         "x = jnp.ones((128, 128), jnp.float32);"
         "print(float((x @ x).sum()))"
     )
+    t0 = time.monotonic()
     proc = subprocess.Popen(
         [sys.executable, "-c", code],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     try:
         proc.communicate(timeout=timeout)
+        if proc.returncode == 0 and _PROBE_COLD_S is None:
+            _PROBE_COLD_S = time.monotonic() - t0
         return proc.returncode == 0
     except subprocess.TimeoutExpired:
         proc.terminate()
@@ -469,13 +494,14 @@ def run_eval_1080p(method_name: str, warm: bool = True) -> None:
     import sys
 
     results = {}
+    scale = 1.0 if warm else _terminal_scale()
     for i, (name, _) in enumerate(_EVAL_CANDIDATES):
         if not warm and i > 0:
             print("# eval fused candidate skipped (cold compile cache)",
                   flush=True)
             break
-        cap = min(180.0 if i == 0 else 120.0, _remaining() - 20.0)
-        if cap < (45.0 if warm else 150.0):
+        cap = min((180.0 if i == 0 else 120.0) * scale, _remaining() - 20.0)
+        if cap < (45.0 if warm else 150.0 * scale):
             print(f"# eval candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
@@ -678,19 +704,21 @@ def _run_flagship_candidates(
     import sys
 
     results = {}
+    scale = 1.0 if warm else _terminal_scale()
     for i, (name, _) in enumerate(_FLAGSHIP_CANDIDATES):
         if not warm and i > 0:
             print("# fused candidates skipped (cold compile cache)",
                   flush=True)
             break
         # the robust default gets the lion's share (measured 186 s cold on
-        # v5e, seconds when the persistent compile cache is warm); the fused
-        # candidates only run with ample budget left
-        cap = min(280.0 if i == 0 else 150.0, _remaining() - 30.0)
-        # cold floor 220: never start the default child unless a full cold
-        # compile (~186 s) plus measurement fits — a SIGTERM mid-compile is
-        # worse than no attempt (it can wedge the tunnel)
-        if cap < ((60.0 if warm else 220.0) if i == 0 else 90.0):
+        # a fast terminal, ~600 s on a slow one — hence the probe-derived
+        # scale — and seconds when the persistent compile cache is warm);
+        # the fused candidates only run with ample budget left
+        cap = min((280.0 if i == 0 else 150.0) * scale, _remaining() - 30.0)
+        # cold floor: never start the default child unless a full cold
+        # compile plus measurement fits — a SIGTERM mid-compile is worse
+        # than no attempt (it can wedge the tunnel)
+        if cap < ((60.0 if warm else 220.0 * scale) if i == 0 else 90.0):
             print(f"# candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
@@ -730,6 +758,7 @@ def _run_flagship_candidates(
 
 
 def main():
+    import signal
     import subprocess
     import sys
     import traceback
@@ -740,6 +769,15 @@ def main():
     # position. Every measurement runs in a timeout-capped subprocess so
     # nothing can hang between a measurement and that final print, and all
     # caps are scheduled against the _BUDGET_S deadline.
+    #
+    # The driver kills with `timeout` = SIGTERM, and Python exits on SIGTERM
+    # WITHOUT running finally blocks — r3's kill lost the flagship line this
+    # way. Convert it to SystemExit so the finally prints the best-so-far
+    # line before dying.
+    def _on_term(*_):
+        raise SystemExit(143)
+
+    signal.signal(signal.SIGTERM, _on_term)
     flagship_line = None
     try:
         warm = _cache_is_warm()
@@ -786,22 +824,24 @@ def main():
                 traceback.print_exc()
 
         # cold caps/floors cover a full cold compile (parity's program is
-        # structurally the flagship's at larger shapes, ~186 s measured for
-        # the flagship); a floor below that starts children the budget
-        # cannot let finish, and SIGTERM-mid-compile is the known tunnel
-        # wedge (r4 morning run)
-        _row("parity", 170.0 if warm else 240.0, 50.0 if warm else 210.0,
+        # structurally the flagship's at larger shapes), scaled by the
+        # probe-derived terminal speed; a floor below that starts children
+        # the budget cannot let finish, and SIGTERM-mid-compile is the
+        # known tunnel wedge (r4 morning run)
+        scale = 1.0 if warm else _terminal_scale()
+        _row("parity", 170.0 if warm else 240.0 * scale,
+             50.0 if warm else 210.0 * scale,
              extra=("--winner", winner),
              env_extra=_CANDIDATE_ENV.get(winner))
-        if _remaining() > (70.0 if warm else 170.0):
+        if _remaining() > (70.0 if warm else 170.0 * scale):
             try:
                 run_eval_1080p("thermal-nerfacto-tpu", warm=warm)
             except Exception:
                 traceback.print_exc()
         else:
             print(f"# eval row skipped ({_remaining():.0f}s left)", flush=True)
-        _row("hash", 90.0, 40.0 if warm else 60.0)
-        _row("datapath", 90.0, 40.0 if warm else 60.0)
+        _row("hash", 90.0 * scale, 40.0 if warm else 60.0 * scale)
+        _row("datapath", 90.0 * scale, 40.0 if warm else 60.0 * scale)
         if flagship_line is None and _remaining() > 240.0 and _gate_device():
             # every candidate CHILD failed on an alive device (child-plumbing
             # trouble, corrupt compile cache, ...): measure the robust default

@@ -201,6 +201,41 @@ def test_main_row_timeout_still_prints_flagship(bench, monkeypatch, capsys):
     assert json.loads(lines[-1])["metric"] == "train_rays_per_sec"
 
 
+def test_sigterm_mid_row_still_prints_flagship_last():
+    """The driver kills with SIGTERM (timeout's default), and Python skips
+    finally blocks on SIGTERM — r3's kill lost the flagship line this way.
+    main() installs a handler converting it to SystemExit, so the
+    best-so-far flagship line still prints LAST."""
+    import subprocess
+    import sys
+
+    code = r"""
+import json, os, signal, sys, time
+sys.path.insert(0, %r)
+import bench
+bench._cache_is_warm = lambda: True
+bench._probe_device = lambda timeout=30.0: True
+def fake_child(cmd, env=None, timeout=600):
+    if "--candidate" in cmd:
+        name = cmd[cmd.index("--candidate") + 1]
+        return json.dumps({"candidate": name, "value": 123456.0}) + "\n"
+    os.kill(os.getpid(), signal.SIGTERM)  # driver kill mid-row
+    time.sleep(30)
+bench._run_child = fake_child
+bench.main()
+""" % (str(__import__("pathlib").Path(__file__).resolve().parents[1]),)
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON printed; stderr:\n{r.stderr[-500:]}"
+    last = json.loads(lines[-1])
+    assert last["metric"] == "train_rays_per_sec"
+    assert last["value"] == 123456.0
+    assert r.returncode == 143
+
+
 def test_child_runner_terminates_on_timeout(bench):
     import sys
 
