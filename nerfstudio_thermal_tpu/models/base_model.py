@@ -129,27 +129,38 @@ class Model:
     def render_ray_bundle_chunked(
         self, params, bundle: RayBundle, rng=None
     ) -> Dict[str, jax.Array]:
-        """Chunk a flat ray bundle, render with a cached jitted chunk fn, and
-        concatenate. The last chunk is padded to keep shapes static."""
+        """Chunk a flat ray bundle and render every chunk inside ONE compiled
+        program (`lax.map` == a scan over [n_chunks, chunk, ...] rays), so a
+        full frame costs a single device dispatch. The per-chunk host loop
+        this replaces paid the ~25 ms axon-tunnel dispatch latency once per
+        chunk per pytree leaf (507 chunks at 1080p -> ~78 s/frame, measured
+        2026-08-20); chunking remains an implementation detail that must not
+        change values (reference base_model.py:178-206). The last chunk is
+        padded to keep shapes static; one program is compiled per distinct
+        (chunk, n_chunks), so fixed-resolution eval/viewer buckets reuse it."""
         chunk = self.config.eval_num_rays_per_chunk
         n = bundle.origins.shape[0]
-        if not hasattr(self, "_render_chunk_jit"):
-            def _render(params, bundle_chunk):
-                return self.forward(params, bundle_chunk, train=False, rng=None)
-
-            self._render_chunk_jit = jax.jit(_render)
-
         pad = (-n) % chunk
+        n_chunks = (n + pad) // chunk
+        if not hasattr(self, "_render_scan_jit"):
+            def _render_all(params, chunks):
+                return jax.lax.map(
+                    lambda b: self.forward(params, b, train=False, rng=None),
+                    chunks,
+                )
+
+            self._render_scan_jit = jax.jit(_render_all)
+
         padded = jax.tree.map(
             lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
             if pad
             else x,
             bundle,
         )
-        outs = []
-        total = padded.origins.shape[0]
-        for start in range(0, total, chunk):
-            piece = jax.tree.map(lambda x: x[start : start + chunk], padded)
-            outs.append(self._render_chunk_jit(params, piece))
-        merged = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
-        return jax.tree.map(lambda x: x[:n], merged)
+        chunks = jax.tree.map(
+            lambda x: x.reshape((n_chunks, chunk) + x.shape[1:]), padded
+        )
+        outs = self._render_scan_jit(params, chunks)
+        return jax.tree.map(
+            lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n], outs
+        )
