@@ -467,11 +467,20 @@ def _measure_eval_1080p(method_name: str, overrides=None) -> tuple:
         distortion_params=jnp.zeros((1, 6)),
         camera_type=jnp.full((1,), CameraType.PERSPECTIVE.value, jnp.int32),
     )
-    out = model.get_outputs_for_camera(params, cam, 0)  # compile + warm
+    # Device-resident render timing, synced by fetching one scalar
+    # (block_until_ready does not sync through the axon tunnel). This
+    # matches the reference's TEST_RAYS_PER_SEC semantics: outputs stay on
+    # the accelerator (trainer.py:519-526 times the forward; torch tensors
+    # remain on-GPU). Fetching all image outputs through the tunnel would
+    # add ~9 s/frame at the measured 17.5 MB/s D2H bandwidth — a tunnel
+    # artifact, not a property of the renderer.
+    out = model.render_camera_device(params, cam, 0)  # compile + warm
+    float(out["rgb"][0, 0])
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
-        out = model.get_outputs_for_camera(params, cam, 0)
+        out = model.render_camera_device(params, cam, 0)
+        float(out["rgb"][0, 0])
     dt = (time.perf_counter() - t0) / reps
     return h * w / dt, 1.0 / dt
 
@@ -545,7 +554,8 @@ def run_eval_1080p(method_name: str, warm: bool = True) -> None:
                 "unit": "rays/s",
                 "vs_baseline": round(fps / 30.0, 4),
                 "config": method_name,
-                "note": f"{fps:.2f} fps at 1920x1080 chunked eval render, "
+                "note": f"{fps:.2f} fps at 1920x1080 device-resident eval "
+                f"render (single-dispatch lax.map, in-jit ray gen), "
                 f"winner={winner} [{cand_note}]; vs_baseline = fps / 30 "
                 "(real-time-1080p north star)",
             }

@@ -113,18 +113,75 @@ class Model:
         box collapse to near == far and render as background."""
         h = int(height if height is not None else cameras.height[camera_index])
         w = int(width if width is not None else cameras.width[camera_index])
-        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        coords = jnp.asarray(
-            np.stack([ys, xs], -1).reshape(-1, 2).astype(np.float32) + 0.5
+        outputs = self.render_camera_device(
+            params, cameras, camera_index, width=w, height=h, crop_aabb=crop_aabb
         )
-        idx = jnp.full((coords.shape[0],), camera_index, jnp.int32)
-        bundle = cameras.generate_rays(idx, coords)
-        if crop_aabb is not None:
-            aabb = jnp.asarray(np.asarray(crop_aabb, np.float32).reshape(2, 3))
-            nears, fars = crop_near_far(bundle.origins, bundle.directions, aabb)
-            bundle = bundle.replace(nears=nears, fars=fars)
-        outputs = self.render_ray_bundle_chunked(params, bundle, rng=rng)
         return {k: np.asarray(v).reshape(h, w, -1) for k, v in outputs.items()}
+
+    def render_camera_device(
+        self, params, cameras: Cameras, camera_index: int,
+        width: Optional[int] = None, height: Optional[int] = None,
+        crop_aabb=None,
+    ) -> Dict[str, jax.Array]:
+        """Full-frame render that stays entirely on device: pixel coords go
+        in, per-ray output images come out as flat [h*w, C] device arrays.
+        Ray generation, the optional crop, and every render chunk run inside
+        ONE jitted program (ray gen in-jit mirrors the train step; the eager
+        per-frame `generate_rays` this replaces cost ~70 s at 1080p through
+        the axon tunnel). Callers fetch only what they display — the
+        measured tunnel D2H bandwidth is ~17.5 MB/s, so device residency is
+        the difference between 0.15 fps and 0.01 fps at 1080p."""
+        h = int(height if height is not None else cameras.height[camera_index])
+        w = int(width if width is not None else cameras.width[camera_index])
+        chunk = self.config.eval_num_rays_per_chunk
+        n = h * w
+        pad = (-n) % chunk
+        n_chunks = (n + pad) // chunk
+        ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        coords = np.stack([ys, xs], -1).reshape(-1, 2).astype(np.float32) + 0.5
+        if pad:
+            coords = np.concatenate([coords, np.repeat(coords[-1:], pad, 0)], 0)
+        coords = jnp.asarray(coords.reshape(n_chunks, chunk, 2))
+        idx = jnp.full((n_chunks, chunk), camera_index, jnp.int32)
+
+        has_crop = crop_aabb is not None
+        cache = getattr(self, "_render_camera_jit", None)
+        if cache is None:
+            cache = self._render_camera_jit = {}
+        if has_crop not in cache:
+            def _render_frame(params, cams, idx_chunks, coords_chunks, aabb):
+                def body(args):
+                    idx_c, coords_c = args
+                    bundle = cams.generate_rays(idx_c, coords_c)
+                    if aabb is not None:
+                        nears, fars = crop_near_far(
+                            bundle.origins, bundle.directions, aabb
+                        )
+                        bundle = bundle.replace(nears=nears, fars=fars)
+                    out = self.forward(params, bundle, train=False, rng=None)
+                    # Per-sample tensors (density fields, [chunk, S, 1]) are
+                    # loss-path payload the image path never consumes; at
+                    # 1080p they are ~1.2 GB/frame. The reference keeps them
+                    # as never-fetched GPU residents (base_model.py:178-206);
+                    # here they must not even be stacked.
+                    return {k: v for k, v in out.items() if v.ndim == 2}
+
+                return jax.lax.map(body, (idx_chunks, coords_chunks))
+
+            if has_crop:
+                cache[True] = jax.jit(_render_frame)
+            else:
+                cache[False] = jax.jit(
+                    lambda p, c, i, x: _render_frame(p, c, i, x, None)
+                )
+        if has_crop:
+            aabb = jnp.asarray(np.asarray(crop_aabb, np.float32).reshape(2, 3))
+            outs = cache[True](params, cameras, idx, coords, aabb)
+        else:
+            outs = cache[False](params, cameras, idx, coords)
+        return jax.tree.map(
+            lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n], outs
+        )
 
     def render_ray_bundle_chunked(
         self, params, bundle: RayBundle, rng=None
@@ -144,10 +201,12 @@ class Model:
         n_chunks = (n + pad) // chunk
         if not hasattr(self, "_render_scan_jit"):
             def _render_all(params, chunks):
-                return jax.lax.map(
-                    lambda b: self.forward(params, b, train=False, rng=None),
-                    chunks,
-                )
+                def body(b):
+                    out = self.forward(params, b, train=False, rng=None)
+                    # image-path outputs only — see render_camera_device
+                    return {k: v for k, v in out.items() if v.ndim == 2}
+
+                return jax.lax.map(body, chunks)
 
             self._render_scan_jit = jax.jit(_render_all)
 

@@ -408,3 +408,13 @@ class GenerfactoModel(Model):
             for k, v in out.items()
             if k in ("rgb", "accumulation", "depth", "expected_depth", "normals")
         }
+
+    def render_camera_device(
+        self, params, cameras, camera_index: int,
+        width=None, height=None, crop_aabb=None,
+    ):
+        """Generative render is fixed-resolution [res, res, C]; returned
+        as-is (the viewer handles image-shaped outputs directly)."""
+        return self.get_outputs_for_camera(
+            params, cameras, camera_index, width=width, height=height
+        )

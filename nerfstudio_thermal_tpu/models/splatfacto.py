@@ -454,6 +454,17 @@ class SplatfactoModel(Model):
             if k not in ("background", "radii")
         }
 
+    def render_camera_device(
+        self, params, cameras: Cameras, camera_index: int,
+        width=None, height=None, crop_aabb=None,
+    ):
+        """Splat renders whole frames natively (no ray chunking); return the
+        [h, w, C] images as-is. crop_aabb is a ray-model concept (AABB
+        near/far clamping) with no rasterizer analogue — ignored."""
+        return self.get_outputs_for_camera(
+            params, cameras, camera_index, width=width, height=height
+        )
+
     # --- losses / metrics --------------------------------------------------
 
     def get_metrics_dict(self, params, outputs, batch, train: bool = True):

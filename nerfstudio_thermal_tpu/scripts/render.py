@@ -57,13 +57,30 @@ def _render_trajectory(
 
     results = {name: [] for name in output_names}
     n = len(cameras)
+    # depth colormaps also need the matching accumulation output
+    needed = set(output_names)
+    for name in output_names:
+        if name.startswith("depth"):
+            needed.add(
+                "accumulation_thermal" if name.endswith("_thermal")
+                else "accumulation"
+            )
     for i in range(n):
-        outputs = model.get_outputs_for_camera(params, cameras, i)
+        # render on device, fetch ONLY the requested outputs (the tunnel's
+        # D2H bandwidth is ~17.5 MB/s; all-output frames are 100s of MB)
+        dev = model.render_camera_device(params, cameras, i)
+        h, w = int(cameras.height[i]), int(cameras.width[i])
+
+        def fetch(v):
+            a = np.asarray(v)
+            return a if a.ndim == 3 else a.reshape(h, w, -1)
+
+        outputs = {k: fetch(v) for k, v in dev.items() if k in needed}
         for name in output_names:
             if name not in outputs:
                 raise KeyError(
                     f"output '{name}' not produced by the model; available: "
-                    f"{sorted(outputs)}"
+                    f"{sorted(dev)}"
                 )
             img = outputs[name]
             if name.startswith("depth"):

@@ -482,15 +482,28 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
             height=jnp.asarray([height], jnp.int32),
             camera_type=jnp.asarray([CameraType.PERSPECTIVE.value], jnp.int32),
         )
-        outputs = model.get_outputs_for_camera(
+        # Device-resident render; fetch ONLY the displayed output (plus the
+        # accumulation a depth colormap needs). The tunnel's measured D2H
+        # bandwidth is ~17.5 MB/s — fetching every output of a 1080p frame
+        # costs ~9 s, the one displayed image ~1.4 s.
+        dev = model.render_camera_device(
             params_fn(), cameras, 0, width=width, height=height,
             crop_aabb=crop,
         )
-        img = outputs.get(output, outputs["rgb"])
+        key = output if output in dev else "rgb"
+
+        def fetch(v):
+            # ray models return flat [h*w, C]; splat/generative return
+            # [h, w, C] images at their native resolution — keep those as-is
+            a = np.asarray(v)
+            return a if a.ndim == 3 else a.reshape(height, width, -1)
+
+        img = fetch(dev[key])
         if "depth" in output:
             suffix = "_thermal" if output.endswith("_thermal") else ""
+            acc = dev.get(f"accumulation{suffix}")
             img = colormaps.apply_depth_colormap(
-                img, accumulation=outputs.get(f"accumulation{suffix}")
+                img, accumulation=None if acc is None else fetch(acc)
             )
         return img
 
