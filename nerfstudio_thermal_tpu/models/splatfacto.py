@@ -74,11 +74,13 @@ class SplatfactoModelConfig(ModelConfig):
     """Fixed gaussian capacity (TPU static shapes; dead slots are masked)."""
     rasterize_chunk: int = 256
     """Gaussians composited per scan step (memory = H*W*chunk floats)."""
-    rasterizer: str = "scan"  # scan | tiles
-    """"scan": every gaussian against every pixel (O(H*W*N), simple, the
-    baseline). "tiles": tile-binned fixed-capacity lists + MXU log-space
+    rasterizer: str = "tiles"  # scan | tiles
+    """"tiles" (default): tile-binned fixed-capacity lists + MXU log-space
     compositing (ops/splat_tiles.py, O(H*W*K)) — the gsplat-rasterizer
-    analogue; equivalence-tested against scan."""
+    analogue; equivalence-tested against scan. "scan": every gaussian
+    against every pixel (O(H*W*N), the oracle baseline). Measured on v5e
+    (tools/bench_splat_raster.py, 100k gaussians at 480x640): tiles 25.0 ms
+    fwd / 46.1 ms fwd+bwd vs scan 5587 / 11739 ms — 223x/255x."""
     tile_capacity: int = 512
     """Max gaussians composited per 16x16 tile (tiles mode); over-full
     tiles drop the farthest."""
