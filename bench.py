@@ -313,10 +313,13 @@ def _run_child(cmd, env=None, timeout=600) -> str:
 # and upgrades the flagship line only on success.
 _FLAGSHIP_CANDIDATES = [
     ("default", {}),
-    # save-acts: fused-MLP backward streams the forward's activations
-    # instead of recomputing them (~1/3 of the bwd kernel's MXU work for
-    # HBM traffic that overlaps compute) — config-identical, env-gated
-    ("default-sa", {}),
+    # kernel-tuned: fused-MLP save-acts backward (stream the forward's
+    # activations instead of recomputing, ~1/3 less bwd MXU work) +
+    # split-skip (skip layer as two matmuls, no misaligned concat).
+    # Config-identical, env-gated. Microbenched on v5e at flagship base
+    # shapes (tools/bench_kernel_variants.py, 2026-08-20): both 10.77 ms
+    # fwd+grad vs 12.03 baseline / 11.31 save-acts-only / 11.63 split-only.
+    ("kernel-tuned", {}),
     ("fray-base", {"fused_raymarch": True}),  # r3: 180.9k vs 178.0k off
 ]
 
@@ -338,7 +341,9 @@ _EXCLUDED_CANDIDATES = {
 }
 
 # extra environment per candidate (subprocess-only)
-_CANDIDATE_ENV = {"default-sa": {"NS_FMLP_SAVE_ACTS": "1"}}
+_CANDIDATE_ENV = {
+    "kernel-tuned": {"NS_FMLP_SAVE_ACTS": "1", "NS_FMLP_SPLIT_SKIP": "1"}
+}
 
 
 # Wall time of the first successful probe (device init + tiny-matmul

@@ -100,7 +100,7 @@ def test_candidate_timeout_dead_device_stops_sweep(bench, monkeypatch):
     monkeypatch.setattr(bench, "_probe_device", lambda timeout=30.0: False)
     line, _ = bench._run_flagship_candidates("m", "train_rays_per_sec", 5)
     # dead probe stops the sweep at the first timed-out candidate
-    assert tried == ["default", "default-sa", "fray-base"]
+    assert tried == ["default", "kernel-tuned", "fray-base"]
     assert json.loads(line)["value"] == 100000.0  # default still wins
 
 

@@ -30,12 +30,12 @@ critical() {  # programs whose warmth bench.py's WARM-mode caps rely on
 # (measured 2026-08-19: rc=124 at a 1200 s cap) — give them caps they can
 # finish inside; a SIGTERM mid-compile is the known tunnel wedge.
 critical 1200 --candidate default    --method thermal-nerfacto-tpu --steps 3
-NS_FMLP_SAVE_ACTS=1 \
-critical 1200 --candidate default-sa --method thermal-nerfacto-tpu --steps 3
+NS_FMLP_SAVE_ACTS=1 NS_FMLP_SPLIT_SKIP=1 \
+critical 1200 --candidate kernel-tuned --method thermal-nerfacto-tpu --steps 3
 critical 3000 --candidate fray-base  --method thermal-nerfacto-tpu --steps 3
 critical 1200 --row parity --winner default
-NS_FMLP_SAVE_ACTS=1 \
-critical 1200 --row parity --winner default-sa
+NS_FMLP_SAVE_ACTS=1 NS_FMLP_SPLIT_SKIP=1 \
+critical 1200 --row parity --winner kernel-tuned
 critical 3000 --row parity --winner fray-base
 critical 1200 --eval-candidate default   --method thermal-nerfacto-tpu
 critical 3000 --eval-candidate fray-base --method thermal-nerfacto-tpu
