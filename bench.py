@@ -503,7 +503,11 @@ def run_eval_1080p(method_name: str, warm: bool = True) -> None:
     BASELINE.md north star: real-time 1080p rendering; vs_baseline = fps/30).
     Autotuned over forward-path candidates, each in a watchdogged subprocess,
     each gated on the remaining deadline budget. Cold cache: default only,
-    with a floor that covers its cold compile."""
+    with a floor that covers its cold compile — the r4 run proved the 1080p
+    render program's cold compile EXCEEDS 180 s (the SIGTERM'd child wedged
+    the tunnel and killed the hash/datapath rows), so cold sizing now
+    matches the parity row's (cap 280, floor 240, x scale) and main() runs
+    this row LAST in cold mode."""
     import subprocess
     import sys
 
@@ -514,8 +518,9 @@ def run_eval_1080p(method_name: str, warm: bool = True) -> None:
             print("# eval fused candidate skipped (cold compile cache)",
                   flush=True)
             break
-        cap = min((180.0 if i == 0 else 120.0) * scale, _remaining() - 20.0)
-        if cap < (45.0 if warm else 150.0 * scale):
+        cap = min(((180.0 if warm else 280.0 * scale) if i == 0
+                   else 120.0 * scale), _remaining() - 20.0)
+        if cap < (45.0 if warm else 240.0 * scale):
             print(f"# eval candidate {name} skipped ({_remaining():.0f}s left)",
                   flush=True)
             break
@@ -848,15 +853,27 @@ def main():
              50.0 if warm else 210.0 * scale,
              extra=("--winner", winner),
              env_extra=_CANDIDATE_ENV.get(winner))
-        if _remaining() > (70.0 if warm else 170.0 * scale):
-            try:
-                run_eval_1080p("thermal-nerfacto-tpu", warm=warm)
-            except Exception:
-                traceback.print_exc()
-        else:
-            print(f"# eval row skipped ({_remaining():.0f}s left)", flush=True)
+
+        def _eval_row():
+            if _remaining() > (70.0 if warm else 260.0 * scale):
+                try:
+                    run_eval_1080p("thermal-nerfacto-tpu", warm=warm)
+                except Exception:
+                    traceback.print_exc()
+            else:
+                print(f"# eval row skipped ({_remaining():.0f}s left)",
+                      flush=True)
+
+        # Cold cache: the 1080p render program's cold compile is the
+        # longest of the secondary rows and a SIGTERM mid-compile is the
+        # known tunnel wedge (r4: it killed hash+datapath) — capture the
+        # cheap rows FIRST and let eval spend whatever budget is left.
+        if warm:
+            _eval_row()
         _row("hash", 90.0 * scale, 40.0 if warm else 60.0 * scale)
         _row("datapath", 90.0 * scale, 40.0 if warm else 60.0 * scale)
+        if not warm:
+            _eval_row()
         if flagship_line is None and _remaining() > 240.0 and _gate_device():
             # every candidate CHILD failed on an alive device (child-plumbing
             # trouble, corrupt compile cache, ...): measure the robust default

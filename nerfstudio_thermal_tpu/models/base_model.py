@@ -103,25 +103,31 @@ class Model:
     def get_outputs_for_camera(
         self, params, cameras: Cameras, camera_index: int, rng=None,
         width: Optional[int] = None, height: Optional[int] = None,
-        crop_aabb=None,
+        crop_aabb=None, include_per_sample: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Render a full image from camera `camera_index` (eval path).
 
         crop_aabb: optional [2, 3] world-space box; rendering is restricted
         to ray segments inside it (the viewer crop / scene-box tool,
         reference viewer/control_panel.py crop controls). Rays that miss the
-        box collapse to near == far and render as background."""
+        box collapse to near == far and render as background.
+
+        include_per_sample: also return per-sample outputs (e.g. densities,
+        [h, w, S]) the way the reference get_outputs_for_camera_ray_bundle
+        does (base_model.py:178-206). Off by default: at 1080p they are
+        ~1.2 GB/frame of device->host traffic no image consumer reads."""
         h = int(height if height is not None else cameras.height[camera_index])
         w = int(width if width is not None else cameras.width[camera_index])
         outputs = self.render_camera_device(
-            params, cameras, camera_index, width=w, height=h, crop_aabb=crop_aabb
+            params, cameras, camera_index, width=w, height=h,
+            crop_aabb=crop_aabb, include_per_sample=include_per_sample,
         )
         return {k: np.asarray(v).reshape(h, w, -1) for k, v in outputs.items()}
 
     def render_camera_device(
         self, params, cameras: Cameras, camera_index: int,
         width: Optional[int] = None, height: Optional[int] = None,
-        crop_aabb=None,
+        crop_aabb=None, include_per_sample: bool = False,
     ) -> Dict[str, jax.Array]:
         """Full-frame render that stays entirely on device: pixel coords go
         in, per-ray output images come out as flat [h*w, C] device arrays.
@@ -148,7 +154,8 @@ class Model:
         cache = getattr(self, "_render_camera_jit", None)
         if cache is None:
             cache = self._render_camera_jit = {}
-        if has_crop not in cache:
+        key = (has_crop, include_per_sample)
+        if key not in cache:
             def _render_frame(params, cams, idx_chunks, coords_chunks, aabb):
                 def body(args):
                     idx_c, coords_c = args
@@ -163,22 +170,31 @@ class Model:
                     # loss-path payload the image path never consumes; at
                     # 1080p they are ~1.2 GB/frame. The reference keeps them
                     # as never-fetched GPU residents (base_model.py:178-206);
-                    # here they must not even be stacked.
-                    return {k: v for k, v in out.items() if v.ndim == 2}
+                    # here, by default, they must not even be stacked —
+                    # include_per_sample=True opts back into reference parity
+                    # (ns-render --rendered-output-names density). The
+                    # hasattr guard drops non-array outputs (e.g. list-valued
+                    # entries a fused train path emits) instead of crashing
+                    # at trace time.
+                    keep = (2,) if not include_per_sample else (2, 3)
+                    return {
+                        k: v for k, v in out.items()
+                        if hasattr(v, "ndim") and v.ndim in keep
+                    }
 
                 return jax.lax.map(body, (idx_chunks, coords_chunks))
 
             if has_crop:
-                cache[True] = jax.jit(_render_frame)
+                cache[key] = jax.jit(_render_frame)
             else:
-                cache[False] = jax.jit(
+                cache[key] = jax.jit(
                     lambda p, c, i, x: _render_frame(p, c, i, x, None)
                 )
         if has_crop:
             aabb = jnp.asarray(np.asarray(crop_aabb, np.float32).reshape(2, 3))
-            outs = cache[True](params, cameras, idx, coords, aabb)
+            outs = cache[key](params, cameras, idx, coords, aabb)
         else:
-            outs = cache[False](params, cameras, idx, coords)
+            outs = cache[key](params, cameras, idx, coords)
         return jax.tree.map(
             lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:n], outs
         )

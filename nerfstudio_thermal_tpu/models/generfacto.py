@@ -411,10 +411,11 @@ class GenerfactoModel(Model):
 
     def render_camera_device(
         self, params, cameras, camera_index: int,
-        width=None, height=None, crop_aabb=None,
+        width=None, height=None, crop_aabb=None, include_per_sample=False,
     ):
         """Generative render is fixed-resolution [res, res, C]; returned
-        as-is (the viewer handles image-shaped outputs directly)."""
+        as-is (the viewer handles image-shaped outputs directly).
+        include_per_sample is accepted for interface parity and ignored."""
         return self.get_outputs_for_camera(
             params, cameras, camera_index, width=width, height=height
         )

@@ -458,11 +458,12 @@ class SplatfactoModel(Model):
 
     def render_camera_device(
         self, params, cameras: Cameras, camera_index: int,
-        width=None, height=None, crop_aabb=None,
+        width=None, height=None, crop_aabb=None, include_per_sample=False,
     ):
         """Splat renders whole frames natively (no ray chunking); return the
         [h, w, C] images as-is. crop_aabb is a ray-model concept (AABB
-        near/far clamping) with no rasterizer analogue — ignored."""
+        near/far clamping) with no rasterizer analogue — ignored, as is
+        include_per_sample (a rasterizer has no per-sample tensors)."""
         return self.get_outputs_for_camera(
             params, cameras, camera_index, width=width, height=height
         )

@@ -43,7 +43,11 @@ class VanillaPipeline:
         metrics: Dict[str, float] = {}
         images: Dict[str, np.ndarray] = {}
 
-        from nerfstudio_thermal_tpu.utils.lpips import lpips, lpips_available
+        from nerfstudio_thermal_tpu.utils.lpips import (
+            lpips,
+            lpips_available,
+            lpips_metric_name,
+        )
 
         pred_rgb = outputs["rgb"]
         pred_t = outputs.get("rgb_thermal")
@@ -51,7 +55,9 @@ class VanillaPipeline:
             metrics["psnr_rgb"] = float(psnr_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
             metrics["ssim_rgb"] = float(ssim_fn(jnp.asarray(pred_rgb), jnp.asarray(gt)))
             if lpips_available():
-                metrics["lpips_rgb"] = lpips(jnp.asarray(pred_rgb), jnp.asarray(gt))
+                metrics[lpips_metric_name("rgb")] = lpips(
+                    jnp.asarray(pred_rgb), jnp.asarray(gt)
+                )
             gt_img = gt
         elif pred_t is not None:
             gt_t = gt[..., :1]
@@ -63,7 +69,7 @@ class VanillaPipeline:
             )
             if lpips_available():
                 # LPIPS needs 3 channels; replicate (reference :548-549)
-                metrics["lpips_thermal"] = lpips(
+                metrics[lpips_metric_name("thermal")] = lpips(
                     jnp.repeat(jnp.asarray(pred_t), 3, -1),
                     jnp.repeat(jnp.asarray(gt_t), 3, -1),
                 )

@@ -65,10 +65,21 @@ def _render_trajectory(
                 "accumulation_thermal" if name.endswith("_thermal")
                 else "accumulation"
             )
+    include_per_sample = False
     for i in range(n):
         # render on device, fetch ONLY the requested outputs (the tunnel's
         # D2H bandwidth is ~17.5 MB/s; all-output frames are 100s of MB)
-        dev = model.render_camera_device(params, cameras, i)
+        dev = model.render_camera_device(
+            params, cameras, i, include_per_sample=include_per_sample
+        )
+        if not include_per_sample and not needed.issubset(dev):
+            # a requested output (e.g. raw `density`) is per-sample, which
+            # the device render drops by default — opt back into reference
+            # get_outputs_for_camera_ray_bundle parity and re-render
+            include_per_sample = True
+            dev = model.render_camera_device(
+                params, cameras, i, include_per_sample=True
+            )
         h, w = int(cameras.height[i]), int(cameras.width[i])
 
         def fetch(v):

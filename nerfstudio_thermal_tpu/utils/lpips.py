@@ -112,6 +112,18 @@ def lpips_provenance() -> Optional[str]:
     return "untrained-seeded(vgg16-he, seed 0, uniform heads)"
 
 
+def lpips_metric_name(suffix: str) -> str:
+    """Metric key carrying its own provenance: `lpips_<suffix>` only when
+    trained VGG weights are loaded; the tier-4 untrained fallback emits
+    `lpips_untrained_<suffix>` so an eval JSON can never be misread as
+    torchmetrics-comparable (reference nerfacto.py:247-253 always has
+    pretrained weights; this image is zero-egress and may not)."""
+    prov = lpips_provenance()
+    if prov is not None and prov.startswith("weights:"):
+        return f"lpips_{suffix}"
+    return f"lpips_untrained_{suffix}"
+
+
 @lru_cache(maxsize=1)
 def _seeded_weights():
     """Tier-4 fallback: deterministic He-initialized VGG16 convs + uniform

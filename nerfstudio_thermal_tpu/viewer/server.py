@@ -499,8 +499,11 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
             return a if a.ndim == 3 else a.reshape(height, width, -1)
 
         img = fetch(dev[key])
-        if "depth" in output:
-            suffix = "_thermal" if output.endswith("_thermal") else ""
+        # colormap keys off the RESOLVED output: when a requested
+        # 'depth_thermal' is absent and key fell back to 'rgb', the RGB
+        # image must not be depth-colormapped
+        if "depth" in key:
+            suffix = "_thermal" if key.endswith("_thermal") else ""
             acc = dev.get(f"accumulation{suffix}")
             img = colormaps.apply_depth_colormap(
                 img, accumulation=None if acc is None else fetch(acc)

@@ -65,3 +65,21 @@ def test_lpips_zero_for_identical_and_positive_for_different(tmp_path, monkeypat
     assert same == pytest.approx(0.0, abs=1e-6)
     other = lpips(img, rng.uniform(size=(32, 32, 3)).astype(np.float32))
     assert other > 1e-6
+
+
+def test_lpips_metric_name_carries_provenance(tmp_path, monkeypatch):
+    """Untrained tier-4 weights must rename the metric key so eval JSONs can
+    never be read as torchmetrics-comparable (VERDICT r4 item 7)."""
+    import nerfstudio_thermal_tpu.utils.lpips as L
+
+    monkeypatch.delenv("NS_LPIPS_WEIGHTS", raising=False)
+    monkeypatch.delenv("NS_LPIPS", raising=False)
+    L._weights_path.cache_clear()
+    L._load_weights.cache_clear()
+    assert L.lpips_metric_name("rgb") == "lpips_untrained_rgb"
+    assert L.lpips_metric_name("thermal") == "lpips_untrained_thermal"
+
+    make_weights(tmp_path, monkeypatch)
+    assert L.lpips_metric_name("rgb") == "lpips_rgb"
+    L._weights_path.cache_clear()
+    L._load_weights.cache_clear()

@@ -3,8 +3,8 @@
 Same harness as tools/xla_trace_bench.py but with the reference workload
 constants applied ((256,96) proposal + 48 nerf samples/ray, full-rate
 cross-density regularizer — BASELINE.md / bench.py's `@parity` row), so the
-0.41x parity number can be decomposed the way docs/ROOFLINE_flagship.md
-decomposes the flagship step.
+measured parity ratio (0.474 as of round 4, docs/ROOFLINE_parity.md) can be
+decomposed the way docs/ROOFLINE_flagship.md decomposes the flagship step.
 
 Usage (live TPU): python tools/xla_trace_parity.py [report]
 """
