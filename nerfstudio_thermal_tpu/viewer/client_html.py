@@ -19,6 +19,19 @@ CLIENT_HTML = r"""<!DOCTYPE html>
   <div>split: <select id="split"><option value="">none</option></select>
     <input id="splitfrac" type="range" min="0" max="100" value="50" style="width:6em"/>
   </div>
+  <div id="cmap">cmap: <select id="cmapname">
+      <option value="default" selected>default</option>
+      <option value="turbo">turbo</option>
+      <option value="viridis">viridis</option>
+      <option value="gray">gray</option>
+    </select>
+    <label><input id="cmapinv" type="checkbox"/>inv</label>
+    <label><input id="cmapnorm" type="checkbox"/>norm</label>
+    <input id="cmapmin" type="number" min="0" max="1" step="0.05" value="0" style="width:3.5em"/>
+    <input id="cmapmax" type="number" min="0" max="1" step="0.05" value="1" style="width:3.5em"/>
+  </div>
+  <div>time <input id="time" type="range" min="0" max="1000" value="0" style="width:8em"/>
+       <span id="timeval">0.00</span></div>
   <div id="train" style="display:none">
     <button id="pausebtn">pause</button>
     <button id="stepbtn">step 1</button>
@@ -125,6 +138,31 @@ const splitSel = document.getElementById('split');
 const splitFrac = document.getElementById('splitfrac');
 splitSel.addEventListener('change', ()=> dirty=true);
 splitFrac.addEventListener('input', ()=> dirty=true);
+
+// per-output colormap controls + dnerf time slider (reference
+// control_panel.py colormap section / time slider)
+const cmapName = document.getElementById('cmapname');
+const cmapInv = document.getElementById('cmapinv');
+const cmapNorm = document.getElementById('cmapnorm');
+const cmapMin = document.getElementById('cmapmin');
+const cmapMax = document.getElementById('cmapmax');
+for (const el of [cmapName, cmapInv, cmapNorm, cmapMin, cmapMax])
+  el.addEventListener('input', ()=> dirty=true);
+const timeEl = document.getElementById('time');
+timeEl.addEventListener('input', () => {
+  document.getElementById('timeval').textContent =
+    (parseInt(timeEl.value)/1000).toFixed(2);
+  dirty = true;
+});
+function colormapOpts() {
+  return {
+    name: cmapName.value,
+    invert: cmapInv.checked,
+    normalize: cmapNorm.checked,
+    min: parseFloat(cmapMin.value) || 0,
+    max: isNaN(parseFloat(cmapMax.value)) ? 1 : parseFloat(cmapMax.value),
+  };
+}
 
 // train controls (reference viewer pause-training button + stats markdown)
 const trainDiv = document.getElementById('train');
@@ -341,6 +379,8 @@ function tick(now) {
       split_fraction: parseInt(splitFrac.value) / 100,
       crop: cropBox(),
       fov: parseFloat(fovEl.value) || 60,
+      colormap: colormapOpts(),
+      time: parseInt(timeEl.value) > 0 ? parseInt(timeEl.value)/1000 : null,
     }));
   }
   requestAnimationFrame(tick);

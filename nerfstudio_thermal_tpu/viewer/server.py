@@ -236,6 +236,10 @@ class ViewerServer:
             # slider): second output rendered and composited left|right
             split_output = msg.get("output_split") or None
             split_frac = float(msg.get("split_fraction", 0.5))
+            # per-output colormap controls + dnerf time slider (reference
+            # viewer/control_panel.py colormap section / time slider)
+            colormap = msg.get("colormap") or None
+            time_val = msg.get("time")
             ladder = [b for b in RESOLUTION_BUCKETS if b <= target] or [target]
             for width in ladder:
                 height = max(int(width / max(aspect, 1e-3)) // 8 * 8, 8)
@@ -243,7 +247,8 @@ class ViewerServer:
                 try:
                     img = await loop.run_in_executor(
                         None, self._render_split, c2w, width, height, output,
-                        crop, fov, split_output, split_frac,
+                        crop, fov, split_output, split_frac, colormap,
+                        time_val,
                     )
                 except Exception as e:  # noqa: BLE001 — keep the loop alive
                     await ws.send(json.dumps(
@@ -270,24 +275,33 @@ class ViewerServer:
                 if stale:
                     break
 
-    def _render(self, c2w, width, height, output, crop=None, fov=60.0):
+    def _render(self, c2w, width, height, output, crop=None, fov=60.0,
+                colormap=None, time=None):
         # serialize against training (reference trainer.py:113,239 train_lock)
         with self.train_lock:
-            return self.render_fn(
-                c2w, width, height, output, crop=crop, fov=fov
-            )
+            kwargs = {"crop": crop, "fov": fov}
+            # optional controls: only forwarded when set, so plain
+            # (c2w, w, h, output, crop, fov) render fns keep working
+            if colormap is not None:
+                kwargs["colormap"] = colormap
+            if time is not None:
+                kwargs["time"] = time
+            return self.render_fn(c2w, width, height, output, **kwargs)
 
     def _render_split(self, c2w, width, height, output, crop, fov,
-                      split_output=None, split_frac=0.5):
+                      split_output=None, split_frac=0.5, colormap=None,
+                      time=None):
         """Render `output`, and when a second output is selected composite
         the two left|right at `split_frac` with a 2px divider (reference
         viewer split-output compare)."""
-        img = np.asarray(self._render(c2w, width, height, output, crop, fov))
+        img = np.asarray(self._render(
+            c2w, width, height, output, crop, fov, colormap, time
+        ))
         if not split_output or split_output == output:
             return img
-        other = np.asarray(
-            self._render(c2w, width, height, split_output, crop, fov)
-        )
+        other = np.asarray(self._render(
+            c2w, width, height, split_output, crop, fov, colormap, time
+        ))
         if img.shape[-1] != other.shape[-1]:  # e.g. rgb vs 1-ch depth map
             if img.shape[-1] == 1:
                 img = np.repeat(img, 3, axis=-1)
@@ -470,7 +484,8 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
     from nerfstudio_thermal_tpu.cameras.cameras import Cameras, CameraType
     from nerfstudio_thermal_tpu.utils import colormaps
 
-    def render(c2w, width, height, output, crop=None, fov=None):
+    def render(c2w, width, height, output, crop=None, fov=None,
+               colormap=None, time=None):
         focal = height / (2 * np.tan(np.radians(fov or fov_degrees) / 2))
         cameras = Cameras(
             camera_to_worlds=jnp.asarray(c2w)[None],
@@ -481,6 +496,12 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
             width=jnp.asarray([width], jnp.int32),
             height=jnp.asarray([height], jnp.int32),
             camera_type=jnp.asarray([CameraType.PERSPECTIVE.value], jnp.int32),
+            # dnerf-style time-conditioned scenes: the viewer time slider
+            # renders the scene at t in [0,1] (reference control_panel.py
+            # time slider; Cameras.times flows into the ray bundle)
+            times=None if time is None else jnp.asarray(
+                [float(np.clip(time, 0.0, 1.0))]
+            ),
         )
         # Device-resident render; fetch ONLY the displayed output (plus the
         # accumulation a depth colormap needs). The tunnel's measured D2H
@@ -499,6 +520,19 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
             return a if a.ndim == 3 else a.reshape(height, width, -1)
 
         img = fetch(dev[key])
+        # Per-output colormap controls (reference control_panel.py colormap
+        # section): name/invert/normalize/min/max apply to every non-RGB
+        # output; depth additionally normalizes by range and masks by
+        # accumulation.
+        opts = colormaps.ColormapOptions()
+        if colormap:
+            opts = colormaps.ColormapOptions(
+                colormap=str(colormap.get("name", "default")),
+                normalize=bool(colormap.get("normalize", False)),
+                colormap_min=float(colormap.get("min", 0.0)),
+                colormap_max=float(colormap.get("max", 1.0)),
+                invert=bool(colormap.get("invert", False)),
+            )
         # colormap keys off the RESOLVED output: when a requested
         # 'depth_thermal' is absent and key fell back to 'rgb', the RGB
         # image must not be depth-colormapped
@@ -506,8 +540,16 @@ def make_model_render_fn(model, params_fn, fov_degrees: float = 60.0):
             suffix = "_thermal" if key.endswith("_thermal") else ""
             acc = dev.get(f"accumulation{suffix}")
             img = colormaps.apply_depth_colormap(
-                img, accumulation=None if acc is None else fetch(acc)
+                img, accumulation=None if acc is None else fetch(acc),
+                colormap_options=opts,
             )
+        elif img.ndim == 3 and img.shape[-1] == 1:
+            try:
+                img = colormaps.apply_colormap(
+                    np.asarray(img, np.float32), opts
+                )
+            except Exception:  # noqa: BLE001 — unknown map name: raw image
+                pass
         return img
 
     return render

@@ -341,3 +341,93 @@ def test_save_path_per_transition_durations(tmp_path):
     assert len(payload["camera_path"]) == 40  # 10 fps * 4 s
     fovs = [f["fov"] for f in payload["camera_path"]]
     assert min(fovs) >= 45.0 and max(fovs) <= 75.0
+
+
+def test_colormap_and_time_forwarded_over_ws(tmp_path):
+    """The camera message's colormap dict + time value reach the render fn
+    (reference control_panel.py colormap section / dnerf time slider); a
+    legacy render fn WITHOUT those kwargs keeps working when the client
+    sends neither."""
+    websockets = pytest.importorskip("websockets")
+    from nerfstudio_thermal_tpu.viewer.server import ViewerServer
+
+    seen = {}
+
+    def render_fn(c2w, width, height, output, crop=None, fov=60.0,
+                  colormap=None, time=None):
+        seen["colormap"] = colormap
+        seen["time"] = time
+        return np.full((height, width, 3), 0.5, np.float32)
+
+    port = 7481
+    server = ViewerServer(
+        render_fn, output_names=["rgb"], port=port, save_dir=tmp_path
+    )
+    server.start(block=False)
+
+    async def connect_with_retry():
+        for _ in range(40):
+            try:
+                return await websockets.connect(
+                    f"ws://localhost:{port + 1}", max_size=None,
+                    open_timeout=30,
+                )
+            except OSError:
+                await asyncio.sleep(0.25)
+        raise TimeoutError("viewer websocket never came up")
+
+    async def drive():
+        async with await connect_with_retry() as ws:
+            hello = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert hello["type"] == "outputs"
+            await ws.send(json.dumps({
+                "type": "camera",
+                "c2w": np.eye(4)[:3].tolist(),
+                "width": 64, "aspect": 2.0, "output": "rgb",
+                "colormap": {"name": "viridis", "invert": True,
+                             "normalize": True, "min": 0.1, "max": 0.9},
+                "time": 0.25,
+            }))
+            # progressive loop replies with stats JSON then a binary JPEG
+            reply = json.loads(await asyncio.wait_for(ws.recv(), 30))
+            assert reply["type"] in ("frame", "stats") or "width" in reply
+
+    asyncio.run(drive())
+    assert seen["colormap"]["name"] == "viridis"
+    assert seen["colormap"]["invert"] is True
+    assert seen["time"] == 0.25
+
+
+def test_legacy_render_fn_without_colormap_kwargs(tmp_path):
+    """_render only forwards colormap/time when SET, so a plain
+    (c2w, w, h, output, crop, fov) render fn stays compatible."""
+    server = _stub_server(tmp_path, 7491)
+    img = server._render(
+        np.eye(4, dtype=np.float32)[:3], 8, 8, "rgb", None, 60.0,
+        colormap=None, time=None,
+    )
+    assert img.shape == (8, 8, 3)
+
+
+def test_model_render_fn_applies_colormap_and_time(tiny_trainer):
+    """make_model_render_fn: a 1-channel output (accumulation) is colormapped
+    to 3 channels honoring invert, and a time value flows into Cameras.times
+    without breaking a time-free model."""
+    from nerfstudio_thermal_tpu.viewer.server import make_model_render_fn
+
+    trainer = tiny_trainer
+    params = trainer.host_params()
+    render = make_model_render_fn(trainer.model, lambda: params)
+    c2w = np.asarray(
+        trainer.datamanager.eval_cameras.camera_to_worlds[0], np.float32
+    )
+    plain = render(c2w, 16, 16, "accumulation",
+                   colormap={"name": "gray"})
+    inv = render(c2w, 16, 16, "accumulation",
+                 colormap={"name": "gray", "invert": True})
+    assert plain.shape == (16, 16, 3) and inv.shape == (16, 16, 3)
+    assert np.allclose(np.clip(plain, 0, 1) + np.clip(inv, 0, 1), 1.0,
+                       atol=1e-5)
+    # a time value must not crash a static-scene model
+    timed = render(c2w, 16, 16, "rgb", time=0.5)
+    assert timed.shape[-1] == 3
