@@ -445,8 +445,12 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
     if save_acts:
         # hidden activations become double-buffered output windows
         per_point += 2 * act_bytes * sum(w.shape[-1] for w in weights[:-1])
+    # fwd VMEM budget (MB): at the default 24 the save-acts base stack runs
+    # blk 1536, plain runs blk 2048 (the request cap); env-swept like the
+    # bwd budget — trace-time read, per-subprocess in the bench autotune
+    fwd_budget = int(os.environ.get("NS_FMLP_FWD_BUDGET_MB", "24")) * 2**20
     block_size = min(
-        block_size, max(512, (24 * 2**20) // max(per_point, 1) // 512 * 512)
+        block_size, max(512, fwd_budget // max(per_point, 1) // 512 * 512)
     )
     xp, n = _pad_batch(x, block_size)
     npad = xp.shape[0]
