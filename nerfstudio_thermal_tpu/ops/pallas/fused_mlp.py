@@ -118,9 +118,36 @@ def _layer_pre(x0, h, w_ref, b_ref, li, skips):
     )
 
 
+def _INTERLEAVE() -> int:
+    """Number of independent sub-blocks processed alternately per layer
+    (1 = off). The layer-serialized [blk, W]@[W, W] chain leaves the MXU
+    draining between dependent matmuls; k>1 interleaves k row-slices so
+    each layer issues k independent dots the scheduler can overlap.
+    Trace-time env read, same contract as the other kernel knobs."""
+    try:
+        return max(1, int(os.environ.get("NS_FMLP_INTERLEAVE", "1")))
+    except ValueError:
+        return 1
+
+
 def _mlp_fwd_core(x0, w_refs, b_refs, num_layers, activation, out_activation, skips):
     """Forward MLP loop on an already-encoded VMEM block x0 (compute dtype)."""
     cdt = x0.dtype
+    k = _INTERLEAVE()
+    if k > 1 and x0.shape[0] % k == 0 and (x0.shape[0] // k) % 8 == 0:
+        n = x0.shape[0] // k
+        xs = [x0[j * n:(j + 1) * n] for j in range(k)]
+        hs = list(xs)
+        for li in range(num_layers):
+            act = activation if li < num_layers - 1 else out_activation
+            hs = [
+                _apply_act(
+                    _layer_pre(xs[j], hs[j], w_refs[li], b_refs[li], li, skips),
+                    act,
+                ).astype(cdt)
+                for j in range(k)
+            ]
+        return jnp.concatenate(hs, axis=0)
     h = x0
     for li in range(num_layers):
         h = _layer_pre(x0, h, w_refs[li], b_refs[li], li, skips)
@@ -136,6 +163,25 @@ def _mlp_fwd_save(x0, w_refs, b_refs, num_layers, activation, out_activation, sk
     """Forward pass that also returns the per-layer post-activations (compute
     dtype) and the final pre-activation (f32) needed by the backward."""
     cdt = x0.dtype
+    k = _INTERLEAVE()
+    if k > 1 and x0.shape[0] % k == 0 and (x0.shape[0] // k) % 8 == 0:
+        n = x0.shape[0] // k
+        xs = [x0[j * n:(j + 1) * n] for j in range(k)]
+        hs = list(xs)
+        post_acts = []
+        final_pre = None
+        for li in range(num_layers):
+            pres = [
+                _layer_pre(xs[j], hs[j], w_refs[li], b_refs[li], li, skips)
+                for j in range(k)
+            ]
+            if li < num_layers - 1:
+                hs = [_apply_act(p, activation).astype(cdt) for p in pres]
+            else:
+                final_pre = jnp.concatenate(pres, axis=0)
+                hs = [_apply_act(p, out_activation).astype(cdt) for p in pres]
+            post_acts.append(jnp.concatenate(hs, axis=0))
+        return post_acts, final_pre
     h = x0
     post_acts = []  # activated output of each layer, compute dtype
     final_pre = None
@@ -155,7 +201,39 @@ def _mlp_bwd_from_saved(
     num_layers, activation, out_activation, skips,
 ):
     """Backward from saved activations: accumulate dW/db into the
-    VMEM-resident output refs, return d_x0 (f32)."""
+    VMEM-resident output refs, return d_x0 (f32). With _INTERLEAVE > 1 the
+    block is split into k row-slices whose dependent dh chains are
+    independent of each other — the dW/db `+=` accumulation makes slice
+    walks composable, and the scheduler may overlap their matmuls."""
+    k = _INTERLEAVE()
+    if k > 1 and x0.shape[0] % k == 0 and (x0.shape[0] // k) % 8 == 0:
+        n = x0.shape[0] // k
+
+        def _slc(a, j):  # post_acts may end in None; final_pre may be None
+            return None if a is None else a[j * n:(j + 1) * n]
+
+        dxs = [
+            _mlp_bwd_walk(
+                _slc(x0, j), _slc(g, j),
+                [_slc(a, j) for a in post_acts],
+                _slc(final_pre, j),
+                w_refs, b_refs, dw_refs, db_refs,
+                num_layers, activation, out_activation, skips,
+            )
+            for j in range(k)
+        ]
+        return jnp.concatenate(dxs, axis=0)
+    return _mlp_bwd_walk(
+        x0, g, post_acts, final_pre, w_refs, b_refs, dw_refs, db_refs,
+        num_layers, activation, out_activation, skips,
+    )
+
+
+def _mlp_bwd_walk(
+    x0, g, post_acts, final_pre, w_refs, b_refs, dw_refs, db_refs,
+    num_layers, activation, out_activation, skips,
+):
+    """One reverse layer walk over a row-slice (see _mlp_bwd_from_saved)."""
     cdt = x0.dtype
     in_dim = x0.shape[-1]
     split = _SPLIT_SKIP()

@@ -84,7 +84,12 @@ def _render_trajectory(
 
         def fetch(v):
             a = np.asarray(v)
-            return a if a.ndim == 3 else a.reshape(h, w, -1)
+            # [h, w, C] images pass through; flat per-ray [h*w, C] and
+            # per-sample [h*w, S, 1] (include_per_sample) reshape to (h, w, *)
+            # matching reference get_outputs_for_camera_ray_bundle
+            if a.ndim == 3 and a.shape[0] == h and a.shape[1] == w:
+                return a
+            return a.reshape(h, w, -1)
 
         outputs = {k: fetch(v) for k, v in dev.items() if k in needed}
         for name in output_names:
@@ -100,6 +105,13 @@ def _render_trajectory(
                 img = colormaps.apply_depth_colormap(img, accumulation=acc)
             elif img.shape[-1] == 1:
                 img = np.repeat(np.clip(img, 0, 1), 3, axis=-1)
+            elif img.shape[-1] not in (3, 4):
+                # per-sample output (e.g. raw density, [h, w, S]) has no
+                # image form (the reference's apply_colormap raises on it
+                # too); visualize the per-pixel mean
+                img = np.clip(
+                    img.mean(axis=-1, keepdims=True), 0, 1
+                ).repeat(3, axis=-1)
             results[name].append(np.asarray(img))
         print(f"rendered {i + 1}/{n}", end="\r", flush=True)
     print()
