@@ -528,7 +528,8 @@ def _fused_mlp_fwd_impl(x, weights, biases, activation, out_activation, block_si
     # bwd budget — trace-time read, per-subprocess in the bench autotune
     fwd_budget = int(os.environ.get("NS_FMLP_FWD_BUDGET_MB", "24")) * 2**20
     block_size = min(
-        block_size, max(512, fwd_budget // max(per_point, 1) // 512 * 512)
+        block_size, max(512, fwd_budget // max(per_point, 1) // 512 * 512),
+        4096,  # blk 8192 crashes the v5e remote compiler (HTTP 500, r5 sweep)
     )
     xp, n = _pad_batch(x, block_size)
     npad = xp.shape[0]

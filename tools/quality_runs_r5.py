@@ -43,7 +43,7 @@ RUNS = [
 
 
 def run_one(data, out_dir: Path, mode: str, seed: int, steps: int,
-            tiny: bool = False) -> dict:
+            tiny: bool = False, pairs: int = 16) -> dict:
     cfg = get_method_config("thermal-nerfacto-tpu")
     cfg.data = Path(data)
     cfg.trainer.max_num_iterations = steps
@@ -87,7 +87,7 @@ def run_one(data, out_dir: Path, mode: str, seed: int, steps: int,
     from nerfstudio_thermal_tpu.utils.lpips import lpips_provenance
 
     record = {
-        "scene": "synthetic consistent 16-pair 64px (tests.fixtures."
+        "scene": f"synthetic consistent {pairs}-pair 64px (tests.fixtures."
                  "make_consistent_rgbt_dataset)",
         "method_name": "thermal-nerfacto-tpu",
         "density_mode": mode,
@@ -98,9 +98,10 @@ def run_one(data, out_dir: Path, mode: str, seed: int, steps: int,
         "results": metrics,
     }
     out_dir.mkdir(parents=True, exist_ok=True)
-    (out_dir / f"flagship_{mode}_seed{seed}.json").write_text(
-        json.dumps(record, indent=2)
+    stem = f"flagship_{mode}_seed{seed}" + (
+        f"_{pairs}pairs" if pairs != 16 else ""
     )
+    (out_dir / f"{stem}.json").write_text(json.dumps(record, indent=2))
 
     # eval image grids (GT | pred RGB | pred thermal), one per eval image
     try:
@@ -118,7 +119,7 @@ def run_one(data, out_dir: Path, mode: str, seed: int, steps: int,
             )
             grid = np.clip(np.asarray(images["img"]), 0, 1)
             Image.fromarray((grid * 255).astype(np.uint8)).save(
-                out_dir / f"flagship_{mode}_seed{seed}_eval{i}.png"
+                out_dir / f"{stem}_eval{i}.png"
             )
     except Exception as e:  # noqa: BLE001 — the JSON is the must-have
         print(f"  image grid failed: {e}", flush=True)
@@ -135,11 +136,14 @@ def main():
                     help="mode:seed to run a single entry")
     ap.add_argument("--tiny", action="store_true",
                     help="shrink the model for a CPU plumbing smoke test")
+    ap.add_argument("--pairs", type=int, default=16,
+                    help="scene view pairs (same train-batch shapes at any "
+                    "value, so the compiled programs are reused)")
     args = ap.parse_args()
 
     root = Path(tempfile.mkdtemp(prefix="quality_scene_"))
     data = make_consistent_rgbt_dataset(
-        root / "scene", num_pairs=16, rgb_hw=(64, 64), t_hw=(56, 56)
+        root / "scene", num_pairs=args.pairs, rgb_hw=(64, 64), t_hw=(56, 56)
     )
 
     runs = RUNS
@@ -149,7 +153,8 @@ def main():
     summary = []
     for mode, seed in runs:
         print(f"== {mode} seed {seed} ({args.steps} steps) ==", flush=True)
-        rec = run_one(data, args.out, mode, seed, args.steps, tiny=args.tiny)
+        rec = run_one(data, args.out, mode, seed, args.steps, tiny=args.tiny,
+                      pairs=args.pairs)
         res = rec["results"]
         line = {k: res.get(k) for k in sorted(res) if k.startswith(("psnr", "ssim"))}
         print(f"  -> {line}", flush=True)
