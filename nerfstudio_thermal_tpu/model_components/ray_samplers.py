@@ -14,6 +14,7 @@ TPU design notes:
 - Inverse-CDF sampling uses a batched searchsorted.
 """
 
+import os
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -72,6 +73,72 @@ def take_below_above(
     below = jnp.where(jnp.isinf(below), values[..., :1], below)
     above = jnp.where(jnp.isinf(above), values[..., -1:], above)
     return below, above
+
+
+def _inverse_cdf_lookup(cdf: jax.Array, u: jax.Array, existing_bins: jax.Array):
+    """The four inverse-CDF lookups of pdf_sample: (cdf_below, cdf_above,
+    bins_below, bins_above) at each query u.
+
+    Two trace-time-selected implementations (sweepable on a live TPU via env,
+    no code edits):
+
+    - "masked" (default): two `take_below_above` passes — 1 shared [R, M, K]
+      comparison + 4 masked min/max VPU reductions.
+    - "onehot" (NS_RESAMPLE_ONEHOT=1): one comparison-count searchsorted
+      (a single [R, M, K] pass + reduce), then ALL FOUR gathers as one
+      batched one-hot matmul [R, K, M] @ [R, M, 4] that rides the MXU
+      (matmuls are effectively free at these sizes on v5e, while each extra
+      VPU pass over [R, M, K] is not). Exact — every output row selects a
+      single element. Relies on cdf[..., 0] == 0 <= u so the insertion index
+      is always >= 1 (pdf_sample constructs cdf that way).
+
+    NS_PROP_BF16=1 additionally runs the [R, M, K] comparison in bfloat16
+    (halves the dominant VPU pass's operand width; the gathered VALUES stay
+    f32 in onehot mode — only the below/above split quantizes).
+    """
+    bf16 = os.environ.get("NS_PROP_BF16", "0") == "1"
+    if os.environ.get("NS_RESAMPLE_ONEHOT", "0") == "1":
+        m = cdf.shape[-1]
+        a, v = (cdf.astype(jnp.bfloat16), u.astype(jnp.bfloat16)) if bf16 else (cdf, u)
+        # insertion index (side="right"); >= 1 because cdf[..., 0] == 0 <= u
+        idx_below = searchsorted_batched(a, v, side="right") - 1  # [R, K]
+        onehot = (
+            jnp.arange(m, dtype=jnp.int32) == idx_below[..., None]
+        )  # [R, K, M]
+        shift_last = lambda x: jnp.concatenate(  # noqa: E731
+            [x[..., 1:], x[..., -1:]], axis=-1
+        )
+        stacked = jnp.stack(
+            [cdf, shift_last(cdf), existing_bins, shift_last(existing_bins)],
+            axis=-1,
+        )  # [R, M, 4]
+        gathered = jnp.einsum(
+            "...km,...mf->...kf",
+            onehot.astype(jnp.float32),
+            stacked,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return (
+            gathered[..., 0],
+            gathered[..., 1],
+            gathered[..., 2],
+            gathered[..., 3],
+        )
+    if bf16:
+        cdf_lu, u_lu = cdf.astype(jnp.bfloat16), u.astype(jnp.bfloat16)
+        cdf_g0, cdf_g1 = take_below_above(cdf_lu, u_lu, cdf.astype(jnp.bfloat16))
+        bins_g0, bins_g1 = take_below_above(
+            cdf_lu, u_lu, existing_bins.astype(jnp.bfloat16)
+        )
+        return (
+            cdf_g0.astype(jnp.float32),
+            cdf_g1.astype(jnp.float32),
+            bins_g0.astype(jnp.float32),
+            bins_g1.astype(jnp.float32),
+        )
+    cdf_g0, cdf_g1 = take_below_above(cdf, u, cdf)
+    bins_g0, bins_g1 = take_below_above(cdf, u, existing_bins)
+    return cdf_g0, cdf_g1, bins_g0, bins_g1
 
 
 def spaced_sample(
@@ -167,9 +234,9 @@ def pdf_sample(
         axis=-1,
     )  # [R, S+1]
 
-    # gather-free inverse-CDF lookups (see take_below_above)
-    cdf_g0, cdf_g1 = take_below_above(cdf, u, cdf)
-    bins_g0, bins_g1 = take_below_above(cdf, u, existing_bins)
+    # gather-free inverse-CDF lookups (see _inverse_cdf_lookup for the
+    # trace-time masked/onehot/bf16 variants)
+    cdf_g0, cdf_g1, bins_g0, bins_g1 = _inverse_cdf_lookup(cdf, u, existing_bins)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0), nan=0.0), 0, 1)
     bins = bins_g0 + t * (bins_g1 - bins_g0)

@@ -109,3 +109,47 @@ def test_proposal_sampler_shapes_and_grad_gating():
     g_off = jax.grad(loss)(0.5, False)
     assert abs(float(g_on)) > 1e-6
     assert float(g_off) == 0.0
+
+
+def test_pdf_sampler_onehot_lookup_matches_masked(monkeypatch):
+    """NS_RESAMPLE_ONEHOT=1 (one-hot MXU gather) must reproduce the default
+    masked-min/max inverse-CDF lookups exactly (both select the same
+    elements; the matmul is a pure selection)."""
+    rb = make_bundle(R=3, near=0.0, far=1.0)
+    rs = spaced_sample(rb, 24, spacing_kind="uniform", train=False)
+    rng = np.random.default_rng(0)
+    w = rng.uniform(0.0, 1.0, (3, 24, 1)).astype(np.float32)
+    w[0, 5:9] = 0.0  # zero-mass run -> tied CDF entries
+    kwargs = dict(train=True, rng=jax.random.PRNGKey(1), include_original=False)
+    ref = pdf_sample(rb, rs, jnp.asarray(w), 16, **kwargs)
+    monkeypatch.setenv("NS_RESAMPLE_ONEHOT", "1")
+    got = pdf_sample(rb, rs, jnp.asarray(w), 16, **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(got.spacing_starts), np.asarray(ref.spacing_starts),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.starts), np.asarray(ref.starts), atol=1e-5
+    )
+
+
+def test_pdf_sampler_bf16_lookup_close_and_sorted(monkeypatch):
+    """NS_PROP_BF16=1 quantizes the inverse-CDF selection; samples must stay
+    sorted, in-range, and within a bin width of the f32 answer (the
+    stratified jitter is already a full bin width)."""
+    rb = make_bundle(R=3, near=0.0, far=1.0)
+    rs = spaced_sample(rb, 24, spacing_kind="uniform", train=False)
+    rng = np.random.default_rng(2)
+    w = rng.uniform(0.0, 1.0, (3, 24, 1)).astype(np.float32)
+    kwargs = dict(train=True, rng=jax.random.PRNGKey(1), include_original=False)
+    ref = pdf_sample(rb, rs, jnp.asarray(w), 16, **kwargs)
+    for onehot in ("0", "1"):
+        monkeypatch.setenv("NS_RESAMPLE_ONEHOT", onehot)
+        monkeypatch.setenv("NS_PROP_BF16", "1")
+        got = pdf_sample(rb, rs, jnp.asarray(w), 16, **kwargs)
+        s = np.asarray(got.spacing_starts)[..., 0]
+        assert (np.diff(s, axis=-1) >= -1e-6).all()
+        assert s.min() >= -1e-6 and s.max() <= 1.0 + 1e-6
+        np.testing.assert_allclose(
+            s, np.asarray(ref.spacing_starts)[..., 0], atol=1.0 / 16
+        )
