@@ -25,6 +25,13 @@ VARIANTS = [
     ("save-acts", {"NS_FMLP_SAVE_ACTS": "1"}),
     ("split-skip", {"NS_FMLP_SPLIT_SKIP": "1"}),
     ("both", {"NS_FMLP_SAVE_ACTS": "1", "NS_FMLP_SPLIT_SKIP": "1"}),
+    # r5: sub-block interleave (983a25b) on top of the shipped kernel-tuned
+    # combo — k row-slices in flight hide MXU pipeline drain between
+    # dependent matmuls
+    ("both+il2", {"NS_FMLP_SAVE_ACTS": "1", "NS_FMLP_SPLIT_SKIP": "1",
+                  "NS_FMLP_INTERLEAVE": "2"}),
+    ("both+il4", {"NS_FMLP_SAVE_ACTS": "1", "NS_FMLP_SPLIT_SKIP": "1",
+                  "NS_FMLP_INTERLEAVE": "4"}),
 ]
 
 

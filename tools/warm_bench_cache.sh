@@ -11,8 +11,19 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_pcc}"
 
 CRITICAL_FAILED=0
+FIRST_RUN=1
+# Lease-release lag: the tunnel's far side releases a dead client's lease
+# 60-90 s late; starting the next TPU process inside that window is what
+# made the r5 session's back-to-back children flaky. Spacing is skippable
+# for incremental re-warms on an already-warm cache (NS_WARM_SPACING=0).
+SPACING="${NS_WARM_SPACING:-75}"
 run() {  # run <timeout_s> <bench args...>
   local to="$1"; shift
+  if [ "$FIRST_RUN" -eq 0 ] && [ "$SPACING" -gt 0 ]; then
+    echo "   (sleeping ${SPACING}s for lease release)"
+    sleep "$SPACING"
+  fi
+  FIRST_RUN=0
   echo "== $* (cap ${to}s) =="
   timeout "$to" python bench.py "$@" 2>&1 | tail -2
   local rc=${PIPESTATUS[0]}
