@@ -119,7 +119,9 @@ class ThermalNerfactoModel(NerfactoModel):
             hidden_dim_color=cfg.hidden_dim_color,
             use_spatial_distortion=not cfg.disable_scene_contraction,
             use_average_appearance_embedding=cfg.use_average_appearance_embedding,
-            appearance_embedding_dim=cfg.appearance_embed_dim,
+            appearance_embedding_dim=(
+                cfg.appearance_embed_dim if cfg.use_appearance_embedding else 0
+            ),
             num_channels=3 + (cfg.density_mode == "shared"),
             compute_dtype=compute_dtype,
             use_pallas=cfg.use_pallas,
@@ -145,7 +147,9 @@ class ThermalNerfactoModel(NerfactoModel):
                 hidden_dim_color=cfg.hidden_dim_color,
                 use_spatial_distortion=not cfg.disable_scene_contraction,
                 use_average_appearance_embedding=cfg.use_average_appearance_embedding,
-                appearance_embedding_dim=cfg.appearance_embed_dim,
+                appearance_embedding_dim=(
+                cfg.appearance_embed_dim if cfg.use_appearance_embedding else 0
+            ),
                 # fused path: 3 channels so both fields' head params stack
                 # (channel 0 is the thermal value; the extra 2 see no loss)
                 num_channels=3 if cfg.fused_modalities else 1,

@@ -61,6 +61,17 @@ def run_one(data, out_dir: Path, mode: str, seed: int, steps: int,
     cfg.model.near_plane = 0.5
     cfg.model.far_plane = 4.0
     cfg.model.density_mode = mode
+    # Synthetic scene: poses are exact and lighting is view-consistent, so
+    # per-image appearance embeddings and pose optimization only add
+    # per-view capacity that hurts NOVEL-view eval (measured A/B, tiny
+    # scale, 800 steps, seed 42: eval RGB 10.8 -> 21.3 dB with both off —
+    # the embedding absorbs color; camera-opt drifts the gauge away from
+    # the held-out poses). Real-capture runs keep both on (shipped method
+    # defaults unchanged); the reference's synthetic (blender) configs
+    # disable pose-opt for the same reason.
+    cfg.model.use_appearance_embedding = False
+    cfg.model.camera_optimizer.mode = "off"
+    cfg.model.camera_optimizer_thermal.mode = "off"
     if tiny:  # CPU plumbing smoke only — never a quality artifact
         cfg.model.num_proposal_samples_per_ray = (8, 8)
         cfg.model.num_nerf_samples_per_ray = 8
