@@ -292,8 +292,16 @@ class NerfactoModel(Model):
         ray_samples_list,
         *,
         train: bool,
+        keep_sample_rgb: bool = False,
     ):
-        """Shared per-field render (reference nerfacto.py:299-353)."""
+        """Shared per-field render (reference nerfacto.py:299-353).
+
+        keep_sample_rgb: eval-only — also return the per-sample color as
+        "rgb_samples" so callers that need the raw field output again
+        (thermal removal rendering) can REUSE it instead of re-applying the
+        field: the Pallas base-MLP custom-call blocks XLA's CSE, so a second
+        apply really runs the whole field twice (measured: 6 base-MLP calls
+        per eval chunk where 4 suffice, ~49% of a 1080p frame)."""
         cfg = self.config
         field_outputs = field.apply(
             {"params": params[field_name]}, ray_samples, train=train
@@ -324,6 +332,8 @@ class NerfactoModel(Model):
             "expected_depth": expected_depth,
             "density": field_outputs[FieldHeadNames.DENSITY],
         }
+        if keep_sample_rgb and not train:
+            outputs["rgb_samples"] = field_outputs[FieldHeadNames.RGB]
         if not train:
             # proposal depth maps are logging/eval-only (reference keeps them
             # always; skipping in train saves several masked reductions/step)

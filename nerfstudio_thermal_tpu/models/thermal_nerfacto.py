@@ -294,6 +294,7 @@ class ThermalNerfactoModel(NerfactoModel):
         outputs, weights_list, ray_samples_list = self._get_outputs_for_field(
             params, "fields", self.field, num_main_channels,
             ray_samples, weights_list, ray_samples_list, train=train,
+            keep_sample_rgb=cfg.density_mode == "separate",
         )
 
         if cfg.density_mode == "shared":
@@ -329,6 +330,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 self._get_outputs_for_field(
                     params, "fields_thermal", self.field_thermal, 1,
                     ray_samples_t, weights_list_t, ray_samples_list_t, train=train,
+                    keep_sample_rgb=True,
                 )
             )
             for k, v in thermal_outputs.items():
@@ -373,11 +375,14 @@ class ThermalNerfactoModel(NerfactoModel):
 
             if not train:
                 # Removal rendering (reference :460-487): keep samples whose
-                # relative cross-spectral density difference is small.
+                # relative cross-spectral density difference is small. The
+                # per-sample colors are REUSED from the render passes above
+                # ("rgb_samples" — see _get_outputs_for_field): re-applying
+                # the fields here is bit-identical but runs the whole base
+                # stack again (the Pallas custom-call defeats XLA CSE).
                 diff = cfg.removal_min_density_diff
-                fo_rgb = self.field.apply(
-                    {"params": params["fields"]}, ray_samples, train=train
-                )
+                rgb_samples = outputs.pop("rgb_samples")
+                rgb_samples_t = outputs.pop("rgb_samples_thermal")
                 # At exactly-zero density the reference's ratio is NaN/Inf
                 # and the comparison falls out False; make that explicit so
                 # no NaN ever enters the weight math (eval-output hygiene —
@@ -391,13 +396,10 @@ class ThermalNerfactoModel(NerfactoModel):
                 mask_rgb = jnp.abs(1.0 - ratio_rgb) < diff
                 w_rm = ray_samples.get_weights(outputs["density"] * mask_rgb)
                 outputs["removal"] = renderers.render_rgb(
-                    fo_rgb[FieldHeadNames.RGB][..., :3], w_rm,
+                    rgb_samples[..., :3], w_rm,
                     background_color=cfg.background_color, train=train,
                 )
 
-                fo_t = self.field_thermal.apply(
-                    {"params": params["fields_thermal"]}, ray_samples_t, train=train
-                )
                 ratio_t = jnp.where(
                     outputs["density_thermal"] > 0,
                     outputs["density2"]
@@ -410,7 +412,7 @@ class ThermalNerfactoModel(NerfactoModel):
                 # RGB hierarchy's ray_samples deltas, not ray_samples_t.
                 w_rm_t = ray_samples.get_weights(outputs["density_thermal"] * mask_t)
                 outputs["removal_thermal"] = renderers.render_rgb(
-                    fo_t[FieldHeadNames.RGB][..., :1], w_rm_t,
+                    rgb_samples_t[..., :1], w_rm_t,
                     background_color=cfg.background_color, train=train,
                 )
 
