@@ -28,10 +28,14 @@ import bench  # noqa: E402
 def main():
     chunks = [int(a) for a in sys.argv[1:]] or [8192, 16384, 32768]
     fray = os.environ.get("NS_EVAL_FRAY", "0") == "1"
+    ffield = os.environ.get("NS_EVAL_FFIELD", "0") == "1"
     for c in chunks:
         overrides = {"eval_num_rays_per_chunk": c}
         if fray:
             overrides["fused_raymarch"] = True
+        if ffield:
+            overrides["fused_raymarch"] = True
+            overrides["fused_field"] = True
         t0 = time.perf_counter()
         rays_s, fps = bench._measure_eval_1080p(
             "thermal-nerfacto-tpu", overrides
